@@ -1,0 +1,43 @@
+"""PoseCNN: 6-DoF ego-motion from a stacked frame pair.
+
+Behavioral reference: networks/pose_cnn.py:8-45 — 7 strided convs
+(16,32,64,128,256,256,256) with ReLU, 1x1 conv to 6*(n-1), global spatial
+mean, 0.01 scaling, split into (axisangle, translation).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from sfmnext_tpu.models.common import TorchConv
+
+
+class PoseCNN(nn.Module):
+    num_input_frames: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B,H,W,3*num_input_frames] -> (axisangle, translation).
+
+        Returns [B, n-1, 1, 3] each, matching the reference shape
+        (pose_cnn.py:40-45).
+        """
+        specs = [
+            (16, 7, 2, 3),
+            (32, 5, 2, 2),
+            (64, 3, 2, 1),
+            (128, 3, 2, 1),
+            (256, 3, 2, 1),
+            (256, 3, 2, 1),
+            (256, 3, 2, 1),
+        ]
+        y = x
+        for i, (ch, k, s, p) in enumerate(specs):
+            y = TorchConv(ch, (k, k), strides=(s, s), padding=p, name=f"conv{i}")(y)
+            y = nn.relu(y)
+
+        n_out = self.num_input_frames - 1
+        y = TorchConv(6 * n_out, (1, 1), padding=0, name="pose_conv")(y)
+        y = y.mean(axis=(1, 2))  # [B, 6*(n-1)]
+        y = 0.01 * y.reshape(-1, n_out, 1, 6)
+        return y[..., :3], y[..., 3:]

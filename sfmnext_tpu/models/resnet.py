@@ -1,0 +1,134 @@
+"""ResNet feature-pyramid encoder in Flax (NHWC).
+
+Behavioral reference: /root/reference/networks/resnet_encoder.py:19-100
+(torchvision ResNet-18/34/50/101/152 with the monodepth2 5-level feature
+taps and the (x-0.45)/0.225 input normalization at :91). Multi-image input
+variant (:19-41) stacks frames on channels.
+
+TPU-first: NHWC convolutions, BatchNorm with global-batch statistics.
+When ``dtype=bfloat16`` the convs run in bf16 on the MXU with f32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+
+from sfmnext_tpu.models.common import BatchNorm, kaiming_normal_fanout, max_pool_3x3_s2
+
+RESNET_SPECS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+def _conv(features, kernel, strides=1, name=None):
+    k = (kernel, kernel)
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        k,
+        strides=(strides, strides),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        kernel_init=kaiming_normal_fanout,
+        name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        y = _conv(self.features, 3, self.strides, name="conv1")(x)
+        y = BatchNorm(not self.train, name="bn1")(y)
+        y = nn.relu(y)
+        y = _conv(self.features, 3, 1, name="conv2")(y)
+        y = BatchNorm(not self.train, name="bn2")(y)
+        if self.strides != 1 or identity.shape[-1] != self.features:
+            identity = _conv(self.features, 1, self.strides, name="down_conv")(x)
+            identity = BatchNorm(not self.train, name="down_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int  # bottleneck width; output is 4x
+    strides: int = 1
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.features * 4
+        identity = x
+        y = _conv(self.features, 1, 1, name="conv1")(x)
+        y = BatchNorm(not self.train, name="bn1")(y)
+        y = nn.relu(y)
+        # torchvision puts the stride on the 3x3 (ResNet v1.5)
+        y = _conv(self.features, 3, self.strides, name="conv2")(y)
+        y = BatchNorm(not self.train, name="bn2")(y)
+        y = nn.relu(y)
+        y = _conv(out_ch, 1, 1, name="conv3")(y)
+        y = BatchNorm(not self.train, name="bn3")(y)
+        if self.strides != 1 or identity.shape[-1] != out_ch:
+            identity = _conv(out_ch, 1, self.strides, name="down_conv")(x)
+            identity = BatchNorm(not self.train, name="down_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """5-level feature pyramid: [stem_relu, layer1, layer2, layer3, layer4].
+
+    Channel dims: [64,64,128,256,512] for 18/34; x4 on levels 1..4 for >=50
+    (reference networks/resnet_encoder.py:70-87).
+
+    Attributes:
+      num_layers: one of 18/34/50/101/152.
+      num_input_images: stacked input frames (channels = 3*n).
+      normalize_input: apply the (x-0.45)/0.225 normalization (:91).
+    """
+
+    num_layers: int = 50
+    num_input_images: int = 1
+    normalize_input: bool = True
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        block_kind, stage_sizes = RESNET_SPECS[self.num_layers]
+        block = BasicBlock if block_kind == "basic" else Bottleneck
+
+        if self.normalize_input:
+            x = (x - 0.45) / 0.225
+
+        features = []
+        y = _conv(64, 7, 2, name="conv1")(x)
+        y = BatchNorm(not self.train, name="bn1")(y)
+        y = nn.relu(y)
+        features.append(y)
+
+        y = max_pool_3x3_s2(y)
+        for stage, (width, n_blocks) in enumerate(
+            zip((64, 128, 256, 512), stage_sizes)
+        ):
+            for i in range(n_blocks):
+                strides = 2 if (i == 0 and stage > 0) else 1
+                y = block(
+                    width, strides, self.train, name=f"layer{stage + 1}_{i}"
+                )(y)
+            features.append(y)
+        return features
+
+    @staticmethod
+    def feature_channels(num_layers: int) -> Sequence[int]:
+        base = [64, 64, 128, 256, 512]
+        if num_layers > 34:
+            return [base[0]] + [c * 4 for c in base[1:]]
+        return base

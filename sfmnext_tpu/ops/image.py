@@ -1,0 +1,122 @@
+"""Image ops: resize, padding, pooling, SSIM. NHWC layout, pure functions.
+
+Behavioral reference: /root/reference/layers.py (SSIM at :13-46, k=7) and the
+torch ``F.interpolate`` bilinear semantics used in trainer.py:395-396
+(align_corners=False) and networks/resnet_encoder.py:115 (align_corners=True).
+
+TPU-first design: bilinear resizes at static shapes are expressed as two
+small dense matmuls (separable row/col interpolation). XLA folds the
+interpolation-weight matrices into constants and runs the contraction on the
+MXU — no gathers, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
+    """Dense [dst, src] 1-D linear-interpolation matrix (two nonzeros/row).
+
+    align_corners=True : x_src = i * (src-1)/(dst-1)
+    align_corners=False: x_src = (i + 0.5) * src/dst - 0.5, edge-clamped
+    (matches torch F.interpolate bilinear in both modes; no antialias).
+    """
+    if src == dst:
+        return np.eye(dst, dtype=np.float32)
+    i = np.arange(dst, dtype=np.float64)
+    if align_corners and dst > 1:
+        x = i * (src - 1) / (dst - 1)
+    else:
+        x = (i + 0.5) * src / dst - 0.5
+    x = np.clip(x, 0.0, src - 1)
+    x0 = np.floor(x).astype(np.int64)
+    x1 = np.minimum(x0 + 1, src - 1)
+    w1 = x - x0
+    w0 = 1.0 - w1
+    m = np.zeros((dst, src), dtype=np.float32)
+    m[np.arange(dst), x0] += w0
+    m[np.arange(dst), x1] += w1
+    return m
+
+
+def resize_bilinear(x, out_hw, align_corners: bool = False):
+    """Bilinear resize of [B,H,W,C] (or [H,W,C]) to out_hw=(H',W').
+
+    Exact match to torch ``F.interpolate(mode='bilinear')`` for both
+    align_corners settings (no antialiasing — torch doesn't antialias either).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x[0] if squeeze else x
+    my = jnp.asarray(_interp_matrix(h, oh, align_corners))
+    mx = jnp.asarray(_interp_matrix(w, ow, align_corners))
+    dtype = x.dtype
+    hi = jax.lax.Precision.HIGHEST  # interpolation weights must not round to bf16
+    y = jnp.einsum("oh,bhwc->bowc", my, x.astype(jnp.float32), precision=hi)
+    y = jnp.einsum("pw,bowc->bopc", mx, y, precision=hi).astype(dtype)
+    return y[0] if squeeze else y
+
+
+def resize_nearest(x, out_hw):
+    """Nearest-neighbor resize of [B,H,W,C] to out_hw (torch 'nearest')."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    iy = (np.arange(oh) * h // oh).astype(np.int32)
+    ix = (np.arange(ow) * w // ow).astype(np.int32)
+    return x[:, jnp.asarray(iy)][:, :, jnp.asarray(ix)]
+
+
+def reflection_pad_2d(x, pad: int):
+    """Reflection-pad [B,H,W,C] by `pad` on each spatial side.
+
+    Matches torch nn.ReflectionPad2d (edge not repeated).
+    """
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def avg_pool_same(x, k: int):
+    """k x k average pool, stride 1, VALID, on [B,H,W,C]."""
+    y = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="VALID",
+    )
+    return y / (k * k)
+
+
+def ssim(x, y, k: int = 7, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2):
+    """SSIM *distance* map: clamp((1 - SSIM)/2, 0, 1).
+
+    Reference layers.py:13-46 — note this repo uses k=7 (monodepth2 uses 3)
+    with reflection padding, so the output is same-size as the input.
+
+    Args:
+      x, y: [B,H,W,C] images in [0,1].
+    Returns:
+      [B,H,W,C] dissimilarity map.
+    """
+    x = reflection_pad_2d(x, k // 2)
+    y = reflection_pad_2d(y, k // 2)
+
+    mu_x = avg_pool_same(x, k)
+    mu_y = avg_pool_same(y, k)
+    sigma_x = avg_pool_same(x * x, k) - mu_x * mu_x
+    sigma_y = avg_pool_same(y * y, k) - mu_y * mu_y
+    sigma_xy = avg_pool_same(x * y, k) - mu_x * mu_y
+
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
