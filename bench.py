@@ -1,0 +1,95 @@
+"""Benchmark: flagship train-step throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: KITTI 320x1024 self-supervised train imgs/sec/chip (ResNet-50
+SQLdepth, full photometric pipeline: encoder + SQL decoder + PoseCNN x2 +
+3-frame warps + SSIM min-reprojection + smoothness + Adam update).
+
+vs_baseline: the reference never publishes throughput (trainer.py:581-591
+logs it to console only; BASELINE.md). We use 10 imgs/s as the estimated
+single-V100 reference throughput for this config (bs12, 320x1024) — the
+north-star target is >=3x (BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_IMGS_PER_SEC_EST = 10.0
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: first bench run pays the (remote) XLA
+    # compile; reruns start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sfmnext_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from sfmnext_tpu.config import Options
+    from sfmnext_tpu.data.synthetic import make_batch
+    from sfmnext_tpu.training.builder import build_models, init_params
+    from sfmnext_tpu.training.step import TrainState, make_optimizer, make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    height, width = 320, 1024
+
+    opt = Options(
+        backbone="resnet",
+        num_layers=50,
+        num_features=512,
+        model_dim=32,
+        patch_size=20,
+        query_nums=128,
+        dim_out=128,
+        height=height,
+        width=width,
+        batch_size=batch_size,
+    ).validate()
+
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    tx = make_optimizer(opt, steps_per_epoch=1000)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(opt, models, tx, donate=True)
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_batch(batch_size, height, width)
+    )
+    batch.pop("depth_gt", None)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile. NOTE: sync via host transfer (float()) — through the
+    # axon tunnel block_until_ready can return before execution finishes.
+    for _ in range(2):
+        state, metrics = step_fn(state, batch, rng)
+    float(metrics["loss"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, batch, rng)
+    final_loss = float(metrics["loss"])  # forces the whole chain
+    dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
+
+    imgs_per_sec = batch_size * n_steps / dt
+    n_chips = max(1, jax.device_count())
+    value = imgs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_320x1024_res50_train_imgs_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(value / REFERENCE_IMGS_PER_SEC_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

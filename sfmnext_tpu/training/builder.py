@@ -1,0 +1,112 @@
+"""Build the model bundle from Options (the reference's backbone switch).
+
+Behavioral reference: trainer.py:57-99 — encoder by ``--backbone``
+(resnet / resnet18_lite / eff_b5 / timm-Unet), SQL depth decoder (lite FFN
+512 for *_lite backbones, trainer.py:78-83), PoseCNN (posecnn default).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sfmnext_tpu.config import Options
+from sfmnext_tpu.models import (
+    LiteResnetEncoderDecoder,
+    PoseCNN,
+    RectifyNet,
+    ResnetEncoderDecoder,
+    SQLDecoder,
+)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """nn.Module instances for one mode (train or eval)."""
+
+    encoder: Any
+    depth: Any
+    pose: Optional[Any]
+    rectify: Optional[Any]
+    train: bool
+
+
+def build_models(opt: Options, train: bool) -> ModelBundle:
+    backbone = opt.backbone
+    if backbone in ("resnet", "resnet_lite"):
+        encoder = ResnetEncoderDecoder(
+            num_layers=opt.num_layers,
+            num_features=opt.num_features,
+            model_dim=opt.model_dim,
+            train=train,
+        )
+    elif backbone == "resnet18_lite":
+        encoder = LiteResnetEncoderDecoder(model_dim=opt.model_dim, train=train)
+    elif backbone == "eff_b5":
+        from sfmnext_tpu.models.efficientnet import BaseEncoderDecoder
+
+        encoder = BaseEncoderDecoder(
+            num_features=opt.num_features, model_dim=opt.model_dim, train=train
+        )
+    else:
+        from sfmnext_tpu.models.unet import Unet
+
+        encoder = Unet(
+            backbone=backbone,
+            num_classes=opt.model_dim,
+            decoder_channels=tuple(opt.dec_channels),
+            train=train,
+        )
+
+    depth = SQLDecoder(
+        embedding_dim=opt.model_dim,
+        patch_size=opt.patch_size,
+        num_heads=4,
+        query_nums=opt.query_nums,
+        dim_out=opt.dim_out,
+        min_val=opt.min_depth,
+        max_val=opt.max_depth,
+        ffn_dim=512 if backbone.endswith("_lite") else 1024,
+        deterministic=not train,
+    )
+
+    pose = PoseCNN(num_input_frames=2) if opt.use_pose_net else None
+    rectify = RectifyNet(train=train) if opt.use_rectify_net else None
+    return ModelBundle(encoder, depth, pose, rectify, train)
+
+
+def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
+    """Initialize all variables. Returns {'params': ..., 'batch_stats': ...}
+    keyed per sub-model (matching the reference's per-module checkpoints,
+    trainer.py:645-657)."""
+    h, w = opt.height, opt.width
+    k_enc, k_dep, k_pose, k_rec = jax.random.split(rng, 4)
+
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    enc_vars = models.encoder.init(k_enc, x)
+    feat = jnp.zeros((1, h // 2, w // 2, opt.model_dim), jnp.float32)
+    dep_vars = models.depth.init(k_dep, feat)
+
+    params = {"encoder": enc_vars["params"], "depth": dep_vars["params"]}
+    batch_stats = {
+        "encoder": enc_vars.get("batch_stats", {}),
+        "depth": dep_vars.get("batch_stats", {}),
+    }
+
+    if models.pose is not None:
+        pose_vars = models.pose.init(k_pose, jnp.zeros((1, h, w, 6), jnp.float32))
+        params["pose"] = pose_vars["params"]
+        batch_stats["pose"] = pose_vars.get("batch_stats", {})
+    if models.rectify is not None:
+        img = jnp.zeros((1, h, w, 3), jnp.float32)
+        rec_vars = models.rectify.init(k_rec, img, img)
+        params["rectify"] = rec_vars["params"]
+        batch_stats["rectify"] = rec_vars.get("batch_stats", {})
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

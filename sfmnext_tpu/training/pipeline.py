@@ -1,0 +1,218 @@
+"""The self-supervised forward + loss pipeline (the jitted hot path).
+
+Behavioral reference (outdoor trainer, trainer.py):
+  - process_batch        :266-299  (encoder -> SQL decoder -> poses -> warp -> loss)
+  - predict_poses        :301-361  (pairs mode, temporal ordering, invert for past)
+  - generate_images_pred :386-439  (upsample depth, mean-inv-depth-scaled T for
+                                    posecnn+mono, backproject/project/grid-sample)
+  - compute_losses       :455-549  (SSIM+L1 0.85/0.15, identity + randn tie-break,
+                                    per-pixel min, automask, edge-aware smoothness)
+
+Everything here is a pure function of (params, batch_stats, batch, rng) and
+is traced once under jit over the device mesh. Batch layout NHWC; frames
+stacked on a leading frame axis: batch['color'] is [B, F, H, W, 3] with
+F indexing opt.all_frame_ids.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfmnext_tpu.config import Options
+from sfmnext_tpu.ops import geometry, losses as L, metrics as M
+from sfmnext_tpu.ops.image import resize_bilinear
+from sfmnext_tpu.ops.warp import warp_frame
+from sfmnext_tpu.training.builder import ModelBundle
+
+
+def _apply(model, params, batch_stats, *args, train: bool, rng=None):
+    """Apply a flax module, handling batch_stats mutability and dropout rng."""
+    variables = {"params": params}
+    has_bn = batch_stats is not None and jax.tree_util.tree_leaves(batch_stats)
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+    rngs = {"dropout": rng} if rng is not None else None
+    if train and has_bn:
+        out, updated = model.apply(
+            variables, *args, rngs=rngs, mutable=["batch_stats"]
+        )
+        return out, updated["batch_stats"]
+    return model.apply(variables, *args, rngs=rngs), batch_stats
+
+
+def predict_poses(
+    models: ModelBundle, params, batch, frame_ids
+) -> Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """PoseCNN on temporally-ordered frame pairs (trainer.py:306-337).
+
+    Returns {frame_id: (axisangle [B,3], translation [B,3])}.
+    """
+    out = {}
+    color_aug = batch["color_aug"]  # [B,F,H,W,3]
+    for idx, f_i in enumerate(frame_ids[1:], start=1):
+        if f_i == "s":
+            continue
+        if f_i < 0:
+            pair = jnp.concatenate([color_aug[:, idx], color_aug[:, 0]], axis=-1)
+        else:
+            pair = jnp.concatenate([color_aug[:, 0], color_aug[:, idx]], axis=-1)
+        aa, t = models.pose.apply({"params": params["pose"]}, pair)
+        out[f_i] = (aa[:, 0, 0], t[:, 0, 0])
+    return out
+
+
+def forward(
+    models: ModelBundle,
+    params,
+    batch_stats,
+    batch,
+    rng,
+    opt: Options,
+):
+    """Full forward: depth, poses, warps, losses.
+
+    Returns (total_loss, aux) where aux carries outputs / metrics / new BN
+    stats. ``rng`` drives dropout + the identity-loss tie-break noise.
+    """
+    train = models.train
+    rng_drop, rng_noise = (
+        jax.random.split(rng) if rng is not None else (None, None)
+    )
+    frame_ids = opt.all_frame_ids
+    b, f, h, w, _ = batch["color"].shape
+
+    # 1. depth from the target frame (augmented input, trainer.py:286-288)
+    feats, bs_enc = _apply(
+        models.encoder,
+        params["encoder"],
+        batch_stats.get("encoder"),
+        batch["color_aug"][:, 0],
+        train=train,
+    )
+    dec_out, bs_dep = _apply(
+        models.depth,
+        params["depth"],
+        batch_stats.get("depth"),
+        feats,
+        train=train,
+        rng=rng_drop,
+    )
+    depth_half = dec_out["disp0"]  # [B,H/2,W/2,1] — holds depth (ref quirk)
+    depth = resize_bilinear(depth_half, (h, w), align_corners=False)
+
+    new_batch_stats = dict(batch_stats)
+    new_batch_stats["encoder"] = bs_enc
+    new_batch_stats["depth"] = bs_dep
+
+    outputs: Dict[str, Any] = {"depth": depth, "depth_half": depth_half}
+    if "bin_centers" in dec_out:
+        outputs["bin_centers"] = dec_out["bin_centers"]
+
+    # 2. poses
+    poses = (
+        predict_poses(models, params, batch, frame_ids)
+        if models.pose is not None
+        else {}
+    )
+
+    # mean inverse depth scaling for posecnn translations
+    # (trainer.py:412-421, from arxiv 1712.00175)
+    inv_depth = 1.0 / depth
+    mean_inv_depth = inv_depth.mean(axis=(1, 2, 3))  # [B]
+
+    # 3. warp every source frame into the target view
+    K, inv_K = batch["K"], batch["inv_K"]
+    target = batch["color"][:, 0]
+    reproj, ident = [], []
+    for idx, f_i in enumerate(frame_ids[1:], start=1):
+        if f_i == "s":
+            T = batch["stereo_T"]
+        else:
+            aa, t = poses[f_i]
+            if opt.pose_model_type == "posecnn" and not opt.use_stereo:
+                t = t * mean_inv_depth[:, None]
+            T = geometry.transformation_from_parameters(aa, t, invert=(f_i < 0))
+
+        src = batch["color"][:, idx]
+        warped, pix = warp_frame(src, depth, inv_K, K, T)
+        outputs[f"warped_{f_i}"] = warped
+
+        reproj.append(
+            L.reprojection_loss(
+                warped, target, opt.ssim_weight, use_ssim=not opt.no_ssim
+            )
+        )
+        if not opt.disable_automasking:
+            ident.append(
+                L.reprojection_loss(
+                    src, target, opt.ssim_weight, use_ssim=not opt.no_ssim
+                )
+            )
+
+    # 4. combine (min over frames, automask)
+    to_optimise, automask = L.min_reprojection_loss(
+        reproj,
+        ident if not opt.disable_automasking else None,
+        rng=rng_noise if train else None,
+        avg_reprojection=opt.avg_reprojection,
+    )
+    if automask is not None:
+        outputs["automask"] = automask
+
+    loss = to_optimise.mean()
+
+    # 5. edge-aware smoothness on mean-normalized depth (trainer.py:533-542)
+    mean_d = depth.mean(axis=(1, 2, 3), keepdims=True)
+    norm_d = depth / (mean_d + 1e-7)
+    smooth = L.edge_aware_smoothness(norm_d, target)
+    total = loss + opt.disparity_smoothness * smooth
+
+    metrics = {
+        "loss": total,
+        "loss/reprojection": loss,
+        "loss/smooth": smooth,
+    }
+    return total, {
+        "outputs": outputs,
+        "metrics": metrics,
+        "batch_stats": new_batch_stats,
+    }
+
+
+def train_depth_metrics(depth, depth_gt, max_eval_depth: float = 80.0):
+    """On-device train-time depth metrics with garg crop + median scaling.
+
+    Reference trainer.py:551-579 (interpolate to GT size, crop, median
+    scale, clamp [1e-3, 80]). GT zeros are invalid.
+    """
+    b, gh, gw, _ = depth_gt.shape
+    pred = resize_bilinear(depth, (gh, gw), align_corners=False)
+    pred = jnp.clip(pred, 1e-3, max_eval_depth)
+
+    valid = depth_gt > 0
+    crop = jnp.zeros((gh, gw), bool)
+    # garg crop fractions of the KITTI full-res frame (trainer.py:566-567)
+    y0, y1 = int(0.40810811 * gh), int(0.98948052 * gh)
+    x0, x1 = int(0.03542350 * gw), int(0.96378829 * gw)
+    crop = crop.at[y0:y1, x0:x1].set(True)
+    mask = valid & crop[None, :, :, None]
+
+    # median scaling via masked median (fixed-size sort)
+    m = mask.astype(pred.dtype)
+    gt_med = _masked_median(depth_gt, mask)
+    pr_med = _masked_median(pred, mask)
+    pred = pred * (gt_med / (pr_med + 1e-7))
+    pred = jnp.clip(pred, 1e-3, max_eval_depth)
+    return M.compute_depth_errors_masked(depth_gt, pred, mask)
+
+
+def _masked_median(x, mask):
+    """Median over masked entries (static shapes: sort with +inf padding)."""
+    flat = jnp.where(mask, x, jnp.inf).reshape(-1)
+    n = mask.sum()
+    sorted_ = jnp.sort(flat)
+    idx = jnp.clip((n - 1) // 2, 0, flat.shape[0] - 1)
+    return sorted_[idx]

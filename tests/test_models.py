@@ -1,0 +1,102 @@
+"""Model shape/behavior tests (small inputs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfmnext_tpu.models import (
+    LiteResnetEncoderDecoder,
+    PoseCNN,
+    PoseDecoder,
+    RectifyNet,
+    ResnetEncoderDecoder,
+    ResNetEncoder,
+    SQLDecoder,
+)
+
+
+def test_resnet18_feature_pyramid_shapes():
+    m = ResNetEncoder(num_layers=18)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(variables, x)
+    chans = [f.shape[-1] for f in feats]
+    assert chans == [64, 64, 128, 256, 512]
+    # strides 2,4,8,16,32
+    assert [f.shape[1] for f in feats] == [32, 16, 8, 4, 2]
+
+
+def test_resnet50_channels():
+    m = ResNetEncoder(num_layers=50)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(variables, x)
+    assert [f.shape[-1] for f in feats] == [64, 256, 512, 1024, 2048]
+
+
+def test_resnet_encoder_decoder_half_resolution():
+    m = ResnetEncoderDecoder(num_layers=50, num_features=64, model_dim=16)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (1, 32, 48, 16)  # 1/2 input resolution (reference parity)
+
+
+def test_lite_encoder_decoder():
+    m = LiteResnetEncoderDecoder(model_dim=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == (1, 32, 32, 8)
+
+
+def test_sql_decoder_depth_range_and_shapes():
+    m = SQLDecoder(
+        embedding_dim=16, patch_size=4, query_nums=8, dim_out=12,
+        min_val=0.5, max_val=10.0, ffn_dim=32,
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 24, 16), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    depth = out["disp0"]
+    assert depth.shape == (2, 16, 24, 1)
+    # depth is a convex combination of bin centers in (min_val, max_val)
+    assert float(depth.min()) >= 0.5 and float(depth.max()) <= 10.0
+    centers = out["bin_centers"]
+    # centers strictly increasing (cumsum of positive widths)
+    assert np.all(np.diff(np.asarray(centers), axis=1) > 0)
+
+
+def test_sql_decoder_token_budget_guard():
+    m = SQLDecoder(embedding_dim=8, patch_size=2, query_nums=4, max_tokens=10)
+    x = jnp.zeros((1, 16, 16, 8))  # 64 tokens > 10
+    with pytest.raises(ValueError, match="tokens exceed"):
+        m.init(jax.random.PRNGKey(0), x)
+
+
+def test_pose_cnn_output_scale():
+    m = PoseCNN(num_input_frames=2)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 64, 96, 6), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    aa, t = m.apply(variables, x)
+    assert aa.shape == (2, 1, 1, 3) and t.shape == (2, 1, 1, 3)
+    # the 0.01 scaling keeps initial outputs tiny (reference pose_cnn.py:40)
+    assert float(jnp.abs(aa).max()) < 0.1
+
+
+def test_pose_decoder_shapes():
+    m = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+    feats = [jnp.zeros((2, 4, 6, 128))]
+    variables = m.init(jax.random.PRNGKey(0), [feats])
+    aa, t = m.apply(variables, [feats])
+    assert aa.shape == (2, 2, 1, 3) and t.shape == (2, 2, 1, 3)
+
+
+def test_rectify_net_pitch_zeroed():
+    m = RectifyNet()
+    img = jnp.asarray(np.random.RandomState(2).rand(2, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), img, img)
+    rot = m.apply(variables, img, img)
+    assert rot.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(rot[:, 2]), 0.0)
