@@ -1,0 +1,191 @@
+"""Evaluation: the reference's eval protocol as a library.
+
+Behavioral reference: evaluate_depth_config.py:62-277 —
+  - batch-1 forward over the split's test_files           (:80-90, 127-162)
+  - optional flip post-process blend                      (:132-134, 51-59)
+  - resize pred to GT resolution (numpy, per-image)       (:231)
+  - eigen crop                                            (:237-241)
+  - per-image median scaling (mono) / 5.4x stereo factor  (:253-256, :27)
+  - clamp [1e-3, 80], 7-metric mean row                   (:258-276)
+
+GT comes from gt_depths.npz produced by export_gt_depth (reference
+export_gt_depth.py:19-65).
+
+TPU notes: the network forward is jitted once at the eval resolution;
+the per-image resize + metric math stays on host numpy because GT sizes
+vary per image (shape-polymorphic device code would recompile per shape).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmnext_tpu.config import Options
+from sfmnext_tpu.ops import metrics as M
+from sfmnext_tpu.training.builder import build_models
+from sfmnext_tpu.utils import checkpoint as ckpt
+
+MIN_DEPTH = 1e-3
+MAX_DEPTH = 80.0
+STEREO_SCALE_FACTOR = 5.4
+
+
+def resize_np_bilinear(arr: np.ndarray, out_hw) -> np.ndarray:
+    """cv2.resize-equivalent bilinear (half-pixel centers) on host."""
+    from sfmnext_tpu.ops.image import _interp_matrix
+
+    my = _interp_matrix(arr.shape[0], out_hw[0], False)
+    mx = _interp_matrix(arr.shape[1], out_hw[1], False)
+    return my @ arr @ mx.T
+
+
+def load_eval_variables(opt: Options):
+    """Restore weights for evaluation from --load_weights_folder.
+
+    Accepts an orbax checkpoint dir or a reference-style folder of .pth
+    files (evaluate_depth_config.py:92-117).
+    """
+    models = build_models(opt, train=False)
+    from sfmnext_tpu.training.builder import init_params
+
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    folder = opt.load_weights_folder
+    if folder is None:
+        print("WARNING: no --load_weights_folder; evaluating random init")
+        return models, variables
+
+    enc_pth = os.path.join(folder, "encoder.pth")
+    if os.path.exists(enc_pth):
+        from sfmnext_tpu.utils import torch_port as tp
+
+        sd = tp.load_state_dict(enc_pth)
+        p, s = tp.convert_resnet_encoder_decoder(sd, opt.num_layers)
+        variables["params"]["encoder"] = p
+        variables["batch_stats"]["encoder"] = s
+        dep = os.path.join(folder, "depth.pth")
+        if os.path.exists(dep):
+            variables["params"]["depth"] = tp.convert_sql_decoder(
+                tp.load_state_dict(dep)
+            )
+    else:
+        variables = ckpt.load_modules(folder, variables, ("encoder", "depth"))
+    return models, variables
+
+
+def predict_depths(opt: Options, models, variables, loader, post_process: bool):
+    """Jitted batch-1 forward over the loader; returns [N,h,w] depths."""
+
+    @jax.jit
+    def infer(images):
+        feats = models.encoder.apply(
+            {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            },
+            images,
+        )
+        out = models.depth.apply({"params": variables["params"]["depth"]}, feats)
+        return out["disp0"][..., 0]
+
+    preds = []
+    for batch in loader:
+        img = jnp.asarray(batch["color"][:, 0])  # [1,H,W,3]
+        if post_process:
+            both = jnp.concatenate([img, img[:, :, ::-1]], 0)
+            d = np.asarray(infer(both))
+            d = M.flip_postprocess(d[:1], d[1:, :, ::-1])
+        else:
+            d = np.asarray(infer(img))
+        preds.append(d[0])
+    return np.stack(preds, 0)
+
+
+def evaluate_predictions(
+    opt: Options,
+    pred_depths: np.ndarray,
+    gt_depths,
+    eval_split: str = "eigen",
+) -> dict:
+    """Crop/scale/clamp + 7-metric mean (evaluate_depth_config.py:209-277)."""
+    errors, ratios = [], []
+    use_median = opt.eval_mono and not opt.disable_median_scaling
+
+    for i in range(len(pred_depths)):
+        gt = gt_depths[i]
+        gh, gw = gt.shape
+        pred = resize_np_bilinear(pred_depths[i], (gh, gw))
+        pred = pred * opt.pred_depth_scale_factor
+        if opt.eval_stereo:
+            pred = pred * STEREO_SCALE_FACTOR
+
+        if eval_split == "eigen":
+            mask = (gt > MIN_DEPTH) & (gt < MAX_DEPTH)
+            mask &= M.eigen_crop_mask(gh, gw)
+        else:
+            mask = gt > 0
+
+        p, g = pred[mask], gt[mask]
+        if use_median:
+            ratio = np.median(g) / np.median(p)
+            ratios.append(ratio)
+            p = p * ratio
+        p = np.clip(p, MIN_DEPTH, MAX_DEPTH)
+        errors.append(M.compute_depth_errors(g, p))
+
+    mean = np.mean(np.asarray(errors), axis=0)
+    result = dict(
+        zip(("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"), mean)
+    )
+    if ratios:
+        r = np.asarray(ratios)
+        result["med_ratio"] = float(np.median(r))
+        result["std_ratio"] = float(np.std(r / np.median(r)))
+    return result
+
+
+def print_metric_row(result: dict):
+    keys = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
+    print("\n  " + ("{:>8} | " * 7).format(*keys))
+    print(("&{: 8.3f}  " * 7).format(*[result[k] for k in keys]) + "\\\\")
+
+
+def evaluate(opt: Options) -> dict:
+    """Full split evaluation (CLI entry equivalent)."""
+    assert int(opt.eval_mono) + int(opt.eval_stereo) == 1, (
+        "choose exactly one of --eval_mono / --eval_stereo"
+    )
+    from sfmnext_tpu.data.loader import PrefetchLoader
+    from sfmnext_tpu.data.mono_dataset import read_lines
+    from sfmnext_tpu.training.trainer import find_splits_dir, make_dataset
+
+    splits_dir = find_splits_dir()
+    files = read_lines(
+        os.path.join(splits_dir, opt.eval_split, "test_files.txt")
+    )
+    import dataclasses
+
+    ds_opt = dataclasses.replace(opt, frame_ids=(0,), use_stereo=False)
+    dataset = make_dataset(ds_opt, files, is_train=False)
+    dataset.load_depth = False
+    loader = PrefetchLoader(
+        dataset, 1, shuffle=False, num_workers=opt.num_workers, drop_last=False
+    )
+
+    models, variables = load_eval_variables(opt)
+    preds = predict_depths(opt, models, variables, loader, opt.post_process)
+
+    if opt.save_pred_disps and opt.eval_out_dir:
+        os.makedirs(opt.eval_out_dir, exist_ok=True)
+        np.save(os.path.join(opt.eval_out_dir, "pred_depths.npy"), preds)
+
+    gt_path = os.path.join(splits_dir, opt.eval_split, "gt_depths.npz")
+    gt_depths = np.load(gt_path, fix_imports=True, allow_pickle=True)["data"]
+
+    result = evaluate_predictions(opt, preds, gt_depths, opt.eval_split)
+    print_metric_row(result)
+    return result

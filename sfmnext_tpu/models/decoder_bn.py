@@ -29,16 +29,19 @@ class UpSampleBN(nn.Module):
 
     features: int
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, skip):
         up = resize_bilinear(x, skip.shape[1:3], align_corners=True)
-        y = jnp.concatenate([up, skip], axis=-1)
-        y = TorchConv(self.features, (3, 3), padding=1, name="conv_a")(y)
-        y = BatchNorm(not self.train, name="bn_a")(y)
+        y = jnp.concatenate([up, skip.astype(up.dtype)], axis=-1)
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+        y = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv_a")(y)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn_a")(y)
         y = leaky_relu(y)
-        y = TorchConv(self.features, (3, 3), padding=1, name="conv_b")(y)
-        y = BatchNorm(not self.train, name="bn_b")(y)
+        y = TorchConv(self.features, (3, 3), padding=1, dtype=self.dtype, name="conv_b")(y)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn_b")(y)
         return leaky_relu(y)
 
 
@@ -48,6 +51,7 @@ class DecoderBN(nn.Module):
     num_features: int = 512
     model_dim: int = 32
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features):
@@ -56,13 +60,13 @@ class DecoderBN(nn.Module):
 
         # reference conv2: 1x1 conv with padding=1 (see module docstring)
         y = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = TorchConv(f, (1, 1), padding=0, name="conv2")(y)
+        y = TorchConv(f, (1, 1), padding=0, dtype=self.dtype, name="conv2")(y)
 
-        y = UpSampleBN(f // 2, self.train, name="up1")(y, x3)
-        y = UpSampleBN(f // 4, self.train, name="up2")(y, x2)
-        y = UpSampleBN(f // 8, self.train, name="up3")(y, x1)
-        y = UpSampleBN(f // 16, self.train, name="up4")(y, x0)
-        return TorchConv(self.model_dim, (3, 3), padding=1, name="conv3")(y)
+        y = UpSampleBN(f // 2, self.train, self.dtype, name="up1")(y, x3)
+        y = UpSampleBN(f // 4, self.train, self.dtype, name="up2")(y, x2)
+        y = UpSampleBN(f // 8, self.train, self.dtype, name="up3")(y, x1)
+        y = UpSampleBN(f // 16, self.train, self.dtype, name="up4")(y, x0)
+        return TorchConv(self.model_dim, (3, 3), padding=1, dtype=self.dtype, name="conv3")(y)
 
 
 class ResnetEncoderDecoder(nn.Module):
@@ -72,14 +76,17 @@ class ResnetEncoderDecoder(nn.Module):
     num_features: int = 512
     model_dim: int = 32
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         feats = ResNetEncoder(
-            num_layers=self.num_layers, train=self.train, name="encoder"
+            num_layers=self.num_layers, train=self.train, dtype=self.dtype,
+            name="encoder",
         )(x)
         return DecoderBN(
-            self.num_features, self.model_dim, self.train, name="decoder"
+            self.num_features, self.model_dim, self.train, self.dtype,
+            name="decoder",
         )(feats)
 
 
@@ -88,8 +95,13 @@ class LiteResnetEncoderDecoder(nn.Module):
 
     model_dim: int = 128
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        feats = ResNetEncoder(num_layers=18, train=self.train, name="encoder")(x)
-        return DecoderBN(256, self.model_dim, self.train, name="decoder")(feats)
+        feats = ResNetEncoder(
+            num_layers=18, train=self.train, dtype=self.dtype, name="encoder"
+        )(x)
+        return DecoderBN(
+            256, self.model_dim, self.train, self.dtype, name="decoder"
+        )(feats)

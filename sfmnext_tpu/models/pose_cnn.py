@@ -8,12 +8,14 @@ mean, 0.01 scaling, split into (axisangle, translation).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from sfmnext_tpu.models.common import TorchConv
 
 
 class PoseCNN(nn.Module):
     num_input_frames: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -31,13 +33,16 @@ class PoseCNN(nn.Module):
             (256, 3, 2, 1),
             (256, 3, 2, 1),
         ]
-        y = x
+        y = x if self.dtype is None else x.astype(self.dtype)
         for i, (ch, k, s, p) in enumerate(specs):
-            y = TorchConv(ch, (k, k), strides=(s, s), padding=p, name=f"conv{i}")(y)
+            y = TorchConv(ch, (k, k), strides=(s, s), padding=p,
+                          dtype=self.dtype, name=f"conv{i}")(y)
             y = nn.relu(y)
 
         n_out = self.num_input_frames - 1
-        y = TorchConv(6 * n_out, (1, 1), padding=0, name="pose_conv")(y)
-        y = y.mean(axis=(1, 2))  # [B, 6*(n-1)]
+        y = TorchConv(6 * n_out, (1, 1), padding=0, dtype=self.dtype,
+                      name="pose_conv")(y)
+        # pose must leave in f32: 0.01-scale outputs feed SE(3) math
+        y = y.astype(jnp.float32).mean(axis=(1, 2))  # [B, 6*(n-1)]
         y = 0.01 * y.reshape(-1, n_out, 1, 6)
         return y[..., :3], y[..., 3:]

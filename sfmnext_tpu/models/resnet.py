@@ -26,7 +26,7 @@ RESNET_SPECS = {
 }
 
 
-def _conv(features, kernel, strides=1, name=None):
+def _conv(features, kernel, strides=1, name=None, dtype=None):
     k = (kernel, kernel)
     pad = kernel // 2
     return nn.Conv(
@@ -36,6 +36,7 @@ def _conv(features, kernel, strides=1, name=None):
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
         kernel_init=kaiming_normal_fanout,
+        dtype=dtype,
         name=name,
     )
 
@@ -44,18 +45,19 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = _conv(self.features, 3, self.strides, name="conv1")(x)
-        y = BatchNorm(not self.train, name="bn1")(y)
+        y = _conv(self.features, 3, self.strides, name="conv1", dtype=self.dtype)(x)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = _conv(self.features, 3, 1, name="conv2")(y)
-        y = BatchNorm(not self.train, name="bn2")(y)
+        y = _conv(self.features, 3, 1, name="conv2", dtype=self.dtype)(y)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
         if self.strides != 1 or identity.shape[-1] != self.features:
-            identity = _conv(self.features, 1, self.strides, name="down_conv")(x)
-            identity = BatchNorm(not self.train, name="down_bn")(identity)
+            identity = _conv(self.features, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
+            identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -63,23 +65,24 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     strides: int = 1
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.features * 4
         identity = x
-        y = _conv(self.features, 1, 1, name="conv1")(x)
-        y = BatchNorm(not self.train, name="bn1")(y)
+        y = _conv(self.features, 1, 1, name="conv1", dtype=self.dtype)(x)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         # torchvision puts the stride on the 3x3 (ResNet v1.5)
-        y = _conv(self.features, 3, self.strides, name="conv2")(y)
-        y = BatchNorm(not self.train, name="bn2")(y)
+        y = _conv(self.features, 3, self.strides, name="conv2", dtype=self.dtype)(y)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = _conv(out_ch, 1, 1, name="conv3")(y)
-        y = BatchNorm(not self.train, name="bn3")(y)
+        y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn3")(y)
         if self.strides != 1 or identity.shape[-1] != out_ch:
-            identity = _conv(out_ch, 1, self.strides, name="down_conv")(x)
-            identity = BatchNorm(not self.train, name="down_bn")(identity)
+            identity = _conv(out_ch, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
+            identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -99,6 +102,7 @@ class ResNetEncoder(nn.Module):
     num_input_images: int = 1
     normalize_input: bool = True
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -107,10 +111,12 @@ class ResNetEncoder(nn.Module):
 
         if self.normalize_input:
             x = (x - 0.45) / 0.225
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         features = []
-        y = _conv(64, 7, 2, name="conv1")(x)
-        y = BatchNorm(not self.train, name="bn1")(y)
+        y = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         features.append(y)
 
@@ -121,7 +127,8 @@ class ResNetEncoder(nn.Module):
             for i in range(n_blocks):
                 strides = 2 if (i == 0 and stage > 0) else 1
                 y = block(
-                    width, strides, self.train, name=f"layer{stage + 1}_{i}"
+                    width, strides, self.train, self.dtype,
+                    name=f"layer{stage + 1}_{i}",
                 )(y)
             features.append(y)
         return features

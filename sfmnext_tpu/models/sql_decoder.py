@@ -50,6 +50,7 @@ class TransformerEncoderLayer(nn.Module):
     ffn_dim: int
     dropout_rate: float = 0.1
     deterministic: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -60,18 +61,21 @@ class TransformerEncoderLayer(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             deterministic=self.deterministic,
-            dropout_rate=0.0,
+            # torch TransformerEncoderLayer forwards its dropout p to the
+            # attention weights too (nn.MultiheadAttention(dropout=p))
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
             name="self_attn",
         )(x, x)
         attn = nn.Dropout(self.dropout_rate, deterministic=self.deterministic)(attn)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
 
-        y = TorchLinear(self.ffn_dim, name="linear1")(x)
+        y = TorchLinear(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=self.deterministic)(y)
-        y = TorchLinear(self.embed_dim, name="linear2")(y)
+        y = TorchLinear(self.embed_dim, dtype=self.dtype, name="linear2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=self.deterministic)(y)
-        return nn.LayerNorm(name="norm2")(x + y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
 
 
 class SQLDecoder(nn.Module):
@@ -92,6 +96,7 @@ class SQLDecoder(nn.Module):
     num_tf_layers: int = 4
     max_tokens: int = 500
     deterministic: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x0):
@@ -110,10 +115,13 @@ class SQLDecoder(nn.Module):
                 "queries are the first query_nums transformer outputs"
             )
 
+        if self.dtype is not None:
+            x0 = x0.astype(self.dtype)
+
         # 1. patchify: Conv(k=p, s=p) -> [B, h/p, w/p, E] -> [B, N, E]
         emb = TorchConv(
             self.embedding_dim, (p, p), strides=(p, p), padding=0,
-            name="embedding_convPxP",
+            dtype=self.dtype, name="embedding_convPxP",
         )(x0)
         emb = emb.reshape(b, n_tokens, self.embedding_dim)
 
@@ -123,7 +131,7 @@ class SQLDecoder(nn.Module):
             lambda key, shape: jax.random.uniform(key, shape),
             (self.max_tokens, self.embedding_dim),
         )
-        emb = emb + pos[None, :n_tokens, :]
+        emb = emb + pos[None, :n_tokens, :].astype(emb.dtype)
 
         # 3. transformer encoder over tokens
         y = emb
@@ -133,6 +141,7 @@ class SQLDecoder(nn.Module):
                 self.num_heads,
                 self.ffn_dim,
                 deterministic=self.deterministic,
+                dtype=self.dtype,
                 name=f"tf_layer{i}",
             )(y)
 
@@ -140,10 +149,12 @@ class SQLDecoder(nn.Module):
         queries = y[:, : self.query_nums, :]  # [B,Q,E]
 
         # 5. per-pixel features + FullQueryLayer cross-attention
-        feats = TorchConv(self.embedding_dim, (3, 3), padding=1, name="conv3x3")(x0)
+        feats = TorchConv(self.embedding_dim, (3, 3), padding=1,
+                          dtype=self.dtype, name="conv3x3")(x0)
         energy, summary = sql_attention.sql_full_query(feats, queries)
 
-        # 6. bins regressor MLP on flattened summaries
+        # 6. bins regressor MLP on flattened summaries (f32: tiny, and the
+        # normalized widths feed a cumsum that sets metric bin edges)
         flat = summary.reshape(b, self.query_nums * self.embedding_dim)
         z = TorchLinear(16 * self.query_nums, name="bins_reg1")(flat)
         z = leaky_relu(z)
@@ -174,6 +185,8 @@ class SQLDecoder(nn.Module):
         conv_b = self.param(
             "prob_bias", torch_default_bias_init(self.query_nums), (self.dim_out,)
         )
-        depth = sql_attention.sql_bins_to_depth(energy, conv_w, conv_b, centers)
+        depth = sql_attention.sql_bins_to_depth(
+            energy, conv_w, conv_b, centers, compute_dtype=self.dtype
+        )
 
-        return {"disp0": depth, "bin_centers": centers}
+        return {"disp0": depth.astype(jnp.float32), "bin_centers": centers}

@@ -24,24 +24,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sql_full_query(features, queries, precision=None):
+def sql_full_query(features, queries):
     """FullQueryLayer: energy maps + softmax-over-pixel summary embeddings.
+
+    Mixed precision: the two matmuls run in the input dtype (bf16 on the
+    MXU when the model computes in bf16) with f32 accumulation; the softmax
+    statistics (max / sum over up-to-81920 pixels) stay f32.
 
     Args:
       features: [B,H,W,E] per-pixel features (the reference's x after its
         3x3 conv, networks/depth_decoder_QTR.py:43).
       queries:  [B,Q,E] coarse queries (first Q transformer tokens).
     Returns:
-      energy:  [B,H,W,Q] raw dot-product energy maps.
-      summary: [B,Q,E] attention-weighted feature summaries, where the
-        softmax normalizes over the H*W pixel axis.
+      energy:  [B,H,W,Q] raw dot-product energy maps (f32).
+      summary: [B,Q,E] attention-weighted feature summaries (f32), softmax
+        normalized over the H*W pixel axis.
     """
     b, h, w, e = features.shape
     q = queries.shape[1]
     s = features.reshape(b, h * w, e)
+    queries = queries.astype(s.dtype)
 
-    # energy[b,n,q] = s[b,n,:] . queries[b,q,:]
-    energy = jnp.einsum("bne,bqe->bnq", s, queries, precision=precision)
+    # energy[b,n,q] = s[b,n,:] . queries[b,q,:]  (f32 accumulate)
+    energy = jnp.einsum(
+        "bne,bqe->bnq", s, queries, preferred_element_type=jnp.float32
+    )
 
     # softmax over the pixel axis (dim=1 in the reference, layers.py:18)
     en = energy - energy.max(axis=1, keepdims=True)
@@ -49,11 +56,16 @@ def sql_full_query(features, queries, precision=None):
     attn = attn / attn.sum(axis=1, keepdims=True)
 
     # summary[b,q,e] = sum_n attn[b,n,q] * s[b,n,e]
-    summary = jnp.einsum("bnq,bne->bqe", attn, s, precision=precision)
+    summary = jnp.einsum(
+        "bnq,bne->bqe",
+        attn.astype(s.dtype),
+        s,
+        preferred_element_type=jnp.float32,
+    )
     return energy.reshape(b, h, w, q), summary
 
 
-def sql_bins_to_depth(energy, weight, bias, centers, precision=None):
+def sql_bins_to_depth(energy, weight, bias, centers, compute_dtype=None):
     """Fused energy -> per-pixel depth head.
 
     Equivalent to the reference's convert_to_prob (1x1 conv Q->D + softmax
@@ -69,10 +81,24 @@ def sql_bins_to_depth(energy, weight, bias, centers, precision=None):
     Returns:
       depth [B,H,W,1].
     """
-    logits = jnp.einsum("bhwq,qd->bhwd", energy, weight, precision=precision) + bias
+    cd = compute_dtype or energy.dtype
+    logits = (
+        jnp.einsum(
+            "bhwq,qd->bhwd",
+            energy.astype(cd),
+            weight.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )
     logits = logits - logits.max(axis=-1, keepdims=True)
     p = jnp.exp(logits)
     # depth = (p @ centers) / sum(p)  — fold the softmax denominator in.
-    num = jnp.einsum("bhwd,bd->bhw", p, centers, precision=precision)
+    num = jnp.einsum(
+        "bhwd,bd->bhw",
+        p.astype(cd),
+        centers.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
     den = p.sum(axis=-1)
     return (num / den)[..., None]

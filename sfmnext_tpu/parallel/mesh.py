@@ -33,6 +33,15 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def auto_mesh_size(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest device count <= available that divides the global batch."""
+    avail = n_devices or len(jax.devices())
+    for n in range(min(avail, batch_size), 0, -1):
+        if batch_size % n == 0:
+            return n
+    return 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (batch) over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

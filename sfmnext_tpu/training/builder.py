@@ -34,22 +34,37 @@ class ModelBundle:
     train: bool
 
 
+def compute_dtype(opt: Options):
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": None}.get(
+        opt.compute_dtype, None
+    )
+
+
 def build_models(opt: Options, train: bool) -> ModelBundle:
     backbone = opt.backbone
+    dtype = compute_dtype(opt)
     if backbone in ("resnet", "resnet_lite"):
         encoder = ResnetEncoderDecoder(
             num_layers=opt.num_layers,
             num_features=opt.num_features,
             model_dim=opt.model_dim,
             train=train,
+            dtype=dtype,
         )
     elif backbone == "resnet18_lite":
-        encoder = LiteResnetEncoderDecoder(model_dim=opt.model_dim, train=train)
+        encoder = LiteResnetEncoderDecoder(
+            model_dim=opt.model_dim, train=train, dtype=dtype
+        )
     elif backbone == "eff_b5":
         from sfmnext_tpu.models.efficientnet import BaseEncoderDecoder
 
         encoder = BaseEncoderDecoder(
-            num_features=opt.num_features, model_dim=opt.model_dim, train=train
+            num_features=opt.num_features,
+            model_dim=opt.model_dim,
+            train=train,
+            dtype=dtype,
         )
     else:
         from sfmnext_tpu.models.unet import Unet
@@ -59,6 +74,7 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
             num_classes=opt.model_dim,
             decoder_channels=tuple(opt.dec_channels),
             train=train,
+            dtype=dtype,
         )
 
     depth = SQLDecoder(
@@ -71,9 +87,12 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
         max_val=opt.max_depth,
         ffn_dim=512 if backbone.endswith("_lite") else 1024,
         deterministic=not train,
+        dtype=dtype,
     )
 
-    pose = PoseCNN(num_input_frames=2) if opt.use_pose_net else None
+    pose = (
+        PoseCNN(num_input_frames=2, dtype=dtype) if opt.use_pose_net else None
+    )
     rectify = RectifyNet(train=train) if opt.use_rectify_net else None
     return ModelBundle(encoder, depth, pose, rectify, train)
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from sfmnext_tpu.config import Options
+from sfmnext_tpu.data.augment import augment_batch
 from sfmnext_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from sfmnext_tpu.training.builder import ModelBundle
 from sfmnext_tpu.training.pipeline import forward
@@ -86,11 +87,19 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    augment: bool = False,
 ):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    With ``augment=True`` the 50% flip + ColorJitter runs on device inside
+    the step (data/augment.py) — the host feed only ships decoded frames.
+    """
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        if augment:
+            rng, k_aug = jax.random.split(rng)
+            batch = augment_batch(batch, k_aug)
 
         def loss_fn(params):
             total, aux = forward(
@@ -109,7 +118,11 @@ def make_train_step(
             batch_stats=aux["batch_stats"],
             opt_state=new_opt_state,
         )
-        return new_state, aux["metrics"]
+        metrics = dict(aux["metrics"])
+        # full-res depth rides along for train-time GT metrics; it is only
+        # fetched on log steps (reference trainer.py:258-259)
+        metrics["depth"] = aux["outputs"]["depth"]
+        return new_state, metrics
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -119,7 +132,9 @@ def make_train_step(
     return jax.jit(
         train_step,
         in_shardings=(rep, dat, rep),
-        out_shardings=(rep, rep),
+        # state replicated; metrics left to the partitioner (the depth map
+        # stays batch-sharded, scalars end up replicated)
+        out_shardings=(rep, None),
         donate_argnums=(0,) if donate else (),
     )
 

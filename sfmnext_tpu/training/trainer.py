@@ -1,0 +1,275 @@
+"""Trainer: the epoch/step orchestration around the jitted train step.
+
+Behavioral reference: trainer.py:30-688 (outdoor Trainer) — dataset switch
+(:144-148), split file lists (:150-157), per-epoch StepLR (:222-226),
+early/late-phase logging cadence (:252-262), one-val-minibatch-per-log
+(:363-384), per-epoch checkpoints (:225-226, 638-660).
+
+The god-object is split: models/optimizer/step live in builder.py/step.py
+(pure, jitted); this class only owns the data feed, the log cadence, and
+checkpoint IO.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmnext_tpu.config import Options
+from sfmnext_tpu.parallel.mesh import make_mesh, shard_batch
+from sfmnext_tpu.training.builder import build_models, init_params, param_count
+from sfmnext_tpu.training.pipeline import train_depth_metrics
+from sfmnext_tpu.training.step import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from sfmnext_tpu.utils import checkpoint as ckpt
+from sfmnext_tpu.utils.logging import (
+    MetricWriter,
+    ThroughputLogger,
+    dump_options,
+)
+
+
+def find_splits_dir() -> str:
+    """Locate the split file lists (env override, repo-local, none)."""
+    for cand in (
+        os.environ.get("SFMNEXT_SPLITS", ""),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "splits"),
+        "splits",
+    ):
+        if cand and os.path.isdir(cand):
+            return cand
+    return "splits"
+
+
+def make_dataset(opt: Options, filenames, is_train: bool):
+    from sfmnext_tpu.data import kitti
+
+    datasets = {
+        "kitti": kitti.KITTIRAWDataset,
+        "kitti_odom": kitti.KITTIOdomDataset,
+        "kitti_depth": kitti.KITTIDepthDataset,
+    }
+    if opt.dataset == "cityscapes_preprocessed":
+        from sfmnext_tpu.data.cityscapes import CityscapesPreprocessedDataset
+
+        cls = CityscapesPreprocessedDataset
+    elif opt.dataset in ("nyu_raw",):
+        from sfmnext_tpu.data.nyu import NYURawDataset
+
+        cls = NYURawDataset
+    elif opt.dataset in ("mc_dataset", "mc_mini_dataset"):
+        from sfmnext_tpu.data.mannequin import MCDataset
+
+        cls = MCDataset
+    else:
+        cls = datasets[opt.dataset]
+    return cls(
+        opt.data_path,
+        filenames,
+        opt.height,
+        opt.width,
+        opt.all_frame_ids,
+        is_train=is_train,
+        img_ext=opt.img_ext,
+    )
+
+
+class Trainer:
+    def __init__(self, opt: Options, train_loader=None, val_loader=None):
+        self.opt = opt.validate()
+        self.log_path = os.path.join(opt.log_dir, opt.model_name)
+
+        from sfmnext_tpu.parallel.mesh import auto_mesh_size
+
+        self.mesh = make_mesh(
+            opt.mesh_shape or auto_mesh_size(opt.batch_size)
+        )
+        self.models_train = build_models(opt, train=True)
+        self.models_eval = build_models(opt, train=False)
+
+        rng = jax.random.PRNGKey(opt.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        variables = init_params(opt, self.models_train, init_rng)
+
+        if opt.load_pretrained_model and opt.load_pt_folder:
+            variables = self._warm_start(variables, opt.load_pt_folder)
+
+        # data ------------------------------------------------------------
+        if train_loader is None:
+            from sfmnext_tpu.data.loader import PrefetchLoader
+            from sfmnext_tpu.data.mono_dataset import read_lines
+
+            splits_dir = find_splits_dir()
+            fpath = os.path.join(splits_dir, opt.split, "{}_files.txt")
+            train_files = read_lines(fpath.format("train"))
+            val_files = read_lines(fpath.format("val"))
+            train_loader = PrefetchLoader(
+                make_dataset(opt, train_files, True),
+                opt.batch_size,
+                shuffle=True,
+                num_workers=opt.num_workers,
+                seed=opt.seed,
+            )
+            val_loader = PrefetchLoader(
+                make_dataset(opt, val_files, False),
+                opt.batch_size,
+                shuffle=True,
+                num_workers=max(1, opt.num_workers // 2),
+                seed=opt.seed + 1,
+                infinite=True,
+            )
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.val_iter = iter(val_loader) if val_loader is not None else None
+
+        self.steps_per_epoch = opt.steps_per_epoch or max(1, len(train_loader))
+        self.num_total_steps = self.steps_per_epoch * opt.num_epochs
+
+        # optimizer / step ------------------------------------------------
+        self.tx = make_optimizer(opt, self.steps_per_epoch)
+        self.state = TrainState.create(variables, self.tx)
+        self.train_step = make_train_step(
+            opt, self.models_train, self.tx, mesh=self.mesh, augment=True
+        )
+        self.eval_step = make_eval_step(opt, self.models_eval)
+        self.depth_metrics = jax.jit(train_depth_metrics)
+
+        # observability ---------------------------------------------------
+        self.writers = {
+            mode: MetricWriter(self.log_path, mode) for mode in ("train", "val")
+        }
+        self.throughput = ThroughputLogger(opt.batch_size, self.num_total_steps)
+        dump_options(opt, self.log_path)
+        print(
+            f"Training {opt.model_name}: "
+            f"{param_count(variables['params']):,} params, "
+            f"{self.steps_per_epoch} steps/epoch x {opt.num_epochs} epochs, "
+            f"mesh={self.mesh.devices.shape}",
+            flush=True,
+        )
+
+        self.epoch = 0
+        self.step = 0
+
+    # -------------------------------------------------------------- warm start
+    def _warm_start(self, variables, folder):
+        """Load pretrained encoder+depth (reference trainer.py:66-90).
+
+        Accepts either an orbax checkpoint dir or reference-style .pth files.
+        """
+        enc_pth = os.path.join(folder, "encoder.pth")
+        if os.path.exists(enc_pth):
+            from sfmnext_tpu.utils import torch_port as tp
+
+            sd = tp.load_state_dict(enc_pth)
+            p, s = tp.convert_resnet_encoder_decoder(sd, self.opt.num_layers)
+            variables["params"]["encoder"] = p
+            variables["batch_stats"]["encoder"] = s
+            dep_pth = os.path.join(folder, "depth.pth")
+            if os.path.exists(dep_pth):
+                variables["params"]["depth"] = tp.convert_sql_decoder(
+                    tp.load_state_dict(dep_pth)
+                )
+            print(f"-> warm-started encoder/depth from {folder} (.pth)")
+            return variables
+        variables = ckpt.load_modules(folder, variables, ("encoder", "depth"))
+        print(f"-> warm-started encoder/depth from {folder} (orbax)")
+        return variables
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        self.save_model()  # epoch-0 snapshot (reference trainer.py:221)
+        for self.epoch in range(self.opt.num_epochs):
+            self.run_epoch()
+            if (self.epoch + 1) % self.opt.save_frequency == 0:
+                self.save_model()
+
+    def run_epoch(self):
+        print("Training", flush=True)
+        for batch_idx, batch in enumerate(self.train_loader):
+            if batch_idx >= self.steps_per_epoch:
+                break
+            t0 = time.time()
+            batch = self._device_batch(batch)
+            self.state, metrics = self.train_step(
+                self.state, batch, self.rng
+            )
+
+            depth = metrics.pop("depth")
+            early = batch_idx % self.opt.log_frequency == 0 and self.step < 2000
+            late = self.step % 1000 == 0
+            if early or late:
+                loss = float(metrics["loss"])  # sync point
+                self.throughput.log(
+                    self.epoch, batch_idx, self.step, time.time() - t0, loss
+                )
+                vals = {k: float(v) for k, v in metrics.items()}
+                if "depth_gt" in batch:
+                    vals.update(
+                        {
+                            k: float(v)
+                            for k, v in self.depth_metrics(
+                                depth, batch["depth_gt"]
+                            ).items()
+                        }
+                    )
+                self.writers["train"].scalars(self.step, vals)
+                self.val()
+            self.step += 1
+
+    def val(self):
+        if self.val_iter is None:
+            return
+        try:
+            batch = next(self.val_iter)
+        except StopIteration:
+            self.val_iter = iter(self.val_loader)
+            batch = next(self.val_iter)
+        batch = self._device_batch(batch, augment_eval=True)
+        metrics, outputs = self.eval_step(
+            self.state.params, self.state.batch_stats, batch
+        )
+        vals = {k: float(v) for k, v in metrics.items()}
+        if "depth_gt" in batch:
+            vals.update(
+                {
+                    k: float(v)
+                    for k, v in self.depth_metrics(
+                        outputs["depth"], batch["depth_gt"]
+                    ).items()
+                }
+            )
+        self.writers["val"].scalars(self.step, vals)
+
+    def _device_batch(self, batch, augment_eval=False):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if "color_aug" not in batch and augment_eval:
+            batch["color_aug"] = batch["color"]
+        return shard_batch(batch, self.mesh)
+
+    # ------------------------------------------------------------ checkpoints
+    def save_model(self):
+        folder = os.path.join(
+            self.log_path, "models", f"weights_{self.epoch}"
+        )
+        ckpt.save_checkpoint(folder, self.state, self.opt)
+        print(f"-> saved checkpoint {folder}", flush=True)
+
+    def load_model(self, folder: Optional[str] = None):
+        folder = folder or self.opt.load_weights_folder
+        restored = ckpt.load_checkpoint(folder)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            step=jnp.asarray(restored["step"]),
+        )
+        print(f"-> loaded checkpoint {folder}", flush=True)

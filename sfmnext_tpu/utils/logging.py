@@ -1,0 +1,98 @@
+"""Observability: metrics jsonl + optional TensorBoard + throughput log.
+
+Behavioral reference: trainer.py:173-175 (train/val SummaryWriters),
+:581-591 (console examples/s + ETA line), :593-625 (scalar + image panels),
+:627-636 (opt.json config dump).
+
+TB is optional (torch.utils.tensorboard when importable); the jsonl stream
+is always written — it is the canonical record for tooling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def sec_to_hm_str(t: float) -> str:
+    t = int(t)
+    s, t = t % 60, t // 60
+    m, h = t % 60, t // 60
+    return f"{h:02d}h{m:02d}m{s:02d}s"
+
+
+class MetricWriter:
+    """Per-mode (train/val) metric sink: jsonl + optional TensorBoard."""
+
+    def __init__(self, log_dir: str, mode: str, use_tb: bool = True):
+        self.mode = mode
+        self.dir = os.path.join(log_dir, mode)
+        os.makedirs(self.dir, exist_ok=True)
+        self.jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self.tb = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard.writer import SummaryWriter
+
+                self.tb = SummaryWriter(self.dir)
+            except Exception:
+                self.tb = None
+
+    def scalars(self, step: int, values: Dict[str, float]):
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in values.items():
+                self.tb.add_scalar(k, float(v), step)
+
+    def images(self, step: int, images: Dict[str, np.ndarray], max_n: int = 4):
+        """images: name -> [H,W,C] float in [0,1]."""
+        if self.tb is None:
+            return
+        for name, img in images.items():
+            arr = np.asarray(img)
+            if arr.ndim == 3 and arr.shape[-1] in (1, 3):
+                arr = np.transpose(arr, (2, 0, 1))
+            self.tb.add_image(name, np.clip(arr, 0, 1), step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+class ThroughputLogger:
+    """Console examples/s + ETA (reference log_time, trainer.py:581-591)."""
+
+    def __init__(self, batch_size: int, num_total_steps: int):
+        self.batch_size = batch_size
+        self.num_total_steps = num_total_steps
+        self.start_time = time.time()
+
+    def log(self, epoch: int, batch_idx: int, step: int, duration: float,
+            loss: float):
+        samples_per_sec = self.batch_size / max(duration, 1e-9)
+        elapsed = time.time() - self.start_time
+        left = (
+            (self.num_total_steps / step - 1.0) * elapsed if step > 0 else 0
+        )
+        print(
+            f"epoch {epoch:>3} | batch {batch_idx:>6} | "
+            f"examples/s: {samples_per_sec:5.1f} | loss: {loss:.5f} | "
+            f"elapsed: {sec_to_hm_str(elapsed)} | left: {sec_to_hm_str(left)}",
+            flush=True,
+        )
+
+
+def dump_options(opt, log_path: str):
+    """Persist run config (reference save_opts, trainer.py:627-636)."""
+    models_dir = os.path.join(log_path, "models")
+    os.makedirs(models_dir, exist_ok=True)
+    with open(os.path.join(models_dir, "opt.json"), "w") as f:
+        f.write(opt.to_json())

@@ -1,0 +1,154 @@
+"""Tests: config/argfile parsing, on-device augmentation, loader, checkpoint."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfmnext_tpu.config import Options, parse_options
+from sfmnext_tpu.data.augment import (
+    adjust_brightness,
+    adjust_hue,
+    adjust_saturation,
+    augment_batch,
+    color_jitter_single,
+)
+from sfmnext_tpu.data.loader import PrefetchLoader
+from sfmnext_tpu.data.synthetic import SyntheticDriveDataset, make_batch
+
+
+def test_argfile_parsing(tmp_path):
+    """Reference launch style: python train.py <argfile.txt>."""
+    argfile = tmp_path / "cfg.txt"
+    argfile.write_text(
+        "--data_path /data/kitti\n"
+        "--backbone resnet\n"
+        "--num_layers 50\n"
+        "--height 192 --width 640\n"
+        "--batch_size 4\n"
+        "--frame_ids 0 -1 1\n"
+        "--learning_rate 0.0001\n"
+        "--diff_lr\n"
+    )
+    opt = parse_options([str(argfile)])
+    assert opt.data_path == "/data/kitti"
+    assert opt.height == 192 and opt.width == 640
+    assert opt.frame_ids == (0, -1, 1)
+    assert opt.diff_lr is True
+    assert opt.learning_rate == 1e-4
+
+
+def test_options_validation_token_budget():
+    import pytest
+
+    with pytest.raises(ValueError, match="tokens"):
+        Options(height=320, width=1024, patch_size=4).validate()
+
+
+def test_augment_batch_flip_consistency():
+    """Flip must apply to all frames of an item + flip stereo baseline."""
+    batch = make_batch(8, 32, 48)
+    batch["stereo_T"] = np.broadcast_to(
+        np.eye(4, dtype=np.float32), (8, 4, 4)
+    ).copy()
+    batch["stereo_T"][:, 0, 3] = 0.1
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = augment_batch(jb, jax.random.PRNGKey(0))
+
+    color = np.asarray(out["color"])
+    orig = batch["color"]
+    for b in range(8):
+        flipped = np.allclose(color[b], orig[b, :, :, ::-1])
+        same = np.allclose(color[b], orig[b])
+        assert flipped or same
+        expected_sign = -0.1 if flipped else 0.1
+        np.testing.assert_allclose(
+            float(out["stereo_T"][b, 0, 3]), expected_sign, atol=1e-6
+        )
+        # depth_gt flipped consistently
+        dg = np.asarray(out["depth_gt"][b])
+        src = batch["depth_gt"][b]
+        np.testing.assert_allclose(dg, src[:, ::-1] if flipped else src)
+
+
+def test_color_jitter_bounds_and_determinism():
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+    out1 = color_jitter_single(img, jax.random.PRNGKey(7))
+    out2 = color_jitter_single(img, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+    assert float(out1.min()) >= 0.0 and float(out1.max()) <= 1.0
+    assert not np.allclose(np.asarray(out1), np.asarray(img))
+
+
+def test_adjust_ops_match_torch_semantics():
+    """brightness/saturation/hue vs torchvision functional formulas."""
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(8, 8, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(adjust_brightness(img, 1.1)),
+        np.clip(np.asarray(img) * 1.1, 0, 1),
+        atol=1e-6,
+    )
+    # saturation f=0 -> grayscale
+    g = np.asarray(adjust_saturation(img, 0.0))
+    assert np.allclose(g[..., 0], g[..., 1], atol=1e-6)
+    # hue shift by 0 is identity
+    np.testing.assert_allclose(
+        np.asarray(adjust_hue(img, 0.0)), np.asarray(img), atol=1e-5
+    )
+    # hue shift by 1.0 wraps to identity
+    np.testing.assert_allclose(
+        np.asarray(adjust_hue(img, 1.0)), np.asarray(img), atol=1e-5
+    )
+
+
+def test_prefetch_loader_batches():
+    ds = SyntheticDriveDataset(16, 24)
+
+    class Wrapper:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            b = ds.batch(1)
+            return {k: v[0] for k, v in b.items()}
+
+    loader = PrefetchLoader(Wrapper(), batch_size=4, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["color"].shape == (4, 3, 16, 24, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sfmnext_tpu.training.builder import build_models, init_params
+    from sfmnext_tpu.training.step import TrainState, make_optimizer
+    from sfmnext_tpu.utils import checkpoint as ckpt
+
+    opt = Options(
+        backbone="resnet", num_layers=18, num_features=64, model_dim=16,
+        patch_size=4, query_nums=16, dim_out=16, height=64, width=96,
+    ).validate()
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    tx = make_optimizer(opt, 10)
+    state = TrainState.create(variables, tx)
+
+    folder = str(tmp_path / "weights_0")
+    ckpt.save_checkpoint(folder, state, opt)
+    meta = ckpt.read_meta(folder)
+    assert meta["height"] == 64 and meta["use_stereo"] is False
+
+    restored = ckpt.load_checkpoint(folder)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # partial (models_to_load) restore
+    variables2 = init_params(opt, models, jax.random.PRNGKey(1))
+    merged = ckpt.load_modules(folder, variables2, ["encoder"])
+    a = jax.tree_util.tree_leaves(merged["params"]["encoder"])[0]
+    b = jax.tree_util.tree_leaves(state.params["encoder"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
