@@ -116,7 +116,7 @@ def color_jitter_single(img, rng):
     return img
 
 
-def augment_batch(batch, rng):
+def augment_batch(batch, rng, allow_flip: bool = True):
     """Apply per-sample flip (50%) and color jitter (50%) on device.
 
     Args:
@@ -130,7 +130,8 @@ def augment_batch(batch, rng):
     color = batch["color"]
     b = color.shape[0]
     k_flip, k_dojit, k_jit = jax.random.split(rng, 3)
-    do_flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    flip_p = 0.5 if allow_flip else 0.0
+    do_flip = jax.random.bernoulli(k_flip, flip_p, (b,))
     do_jit = jax.random.bernoulli(k_dojit, 0.5, (b,))
     jit_keys = jax.random.split(k_jit, b)
 

@@ -1,0 +1,105 @@
+"""Generic U-Net over a timm-style backbone (the reference's ``Unet``).
+
+Behavioral reference: networks/Unet.py:9-312 — encoder features reversed
+(deepest first), DecoderBlocks of [bilinear-up-to-skip (align_corners=True),
+concat, 2x Conv3x3(bias=False)-BN-ReLU], skip wiring
+``in = [enc[0]+enc[1], dec[0]+enc[2], ..., dec[-2]+0]``; a final trailing
+block without skip upsamples x2 (align_corners=False); 1x1 conv to
+``num_classes``. kaiming_normal conv init (:300-306).
+
+For convnext backbones (4 features at strides 4..32) with
+decoder_channels=(1024,512,256,128) the output lands at 1/2 input
+resolution — the contract the SQL decoder expects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sfmnext_tpu.models.common import BatchNorm, kaiming_normal_fanout
+from sfmnext_tpu.models.convnext import ConvNeXt, convnext_cfg
+from sfmnext_tpu.ops.image import resize_bilinear
+
+
+class Conv2dBnAct(nn.Module):
+    features: int
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features, (3, 3), padding=1, use_bias=False,
+            kernel_init=kaiming_normal_fanout, dtype=self.dtype, name="conv",
+        )(x)
+        y = BatchNorm(not self.train, dtype=self.dtype, name="bn")(y)
+        return nn.relu(y)
+
+
+class DecoderBlock(nn.Module):
+    features: int
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = resize_bilinear(x, skip.shape[1:3], align_corners=True)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        else:
+            b, h, w, c = x.shape
+            x = resize_bilinear(x, (h * 2, w * 2), align_corners=False)
+        x = Conv2dBnAct(self.features, self.train, self.dtype, name="conv1")(x)
+        return Conv2dBnAct(self.features, self.train, self.dtype, name="conv2")(x)
+
+
+class UnetDecoder(nn.Module):
+    decoder_channels: Sequence[int] = (1024, 512, 256, 128)
+    final_channels: int = 32
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feats_deepest_first):
+        x = feats_deepest_first[0]
+        skips = list(feats_deepest_first[1:])
+        for i, ch in enumerate(self.decoder_channels):
+            skip = skips[i] if i < len(skips) else None
+            x = DecoderBlock(ch, self.train, self.dtype, name=f"block{i}")(
+                x, skip
+            )
+        return nn.Conv(
+            self.final_channels, (1, 1), kernel_init=kaiming_normal_fanout,
+            dtype=self.dtype, name="final_conv",
+        )(x)
+
+
+class Unet(nn.Module):
+    backbone: str = "convnext_large"
+    num_classes: int = 32
+    decoder_channels: Sequence[int] = (1024, 512, 256, 128)
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.backbone.startswith("convnext"):
+            raise NotImplementedError(
+                f"backbone {self.backbone!r}: convnext_* family implemented; "
+                "use backbone='resnet'/'eff_b5' for the other reference paths"
+            )
+        depths, dims = convnext_cfg(self.backbone)
+        feats = ConvNeXt(
+            depths, dims, self.train, self.dtype, name="encoder"
+        )(x)
+        out = UnetDecoder(
+            tuple(self.decoder_channels),
+            self.num_classes,
+            self.train,
+            self.dtype,
+            name="decoder",
+        )(feats[::-1])
+        return out.astype(jnp.float32) if self.dtype is not None else out

@@ -81,6 +81,23 @@ def make_optimizer(opt: Options, steps_per_epoch: int) -> optax.GradientTransfor
     return tx
 
 
+def select_pipeline(opt: Options, pipeline: str = "auto"):
+    """outdoor (trainer.py) vs indoor (trainer_indoor.py) loss pipeline."""
+    if pipeline == "auto":
+        indoor = (
+            opt.use_rectify_net
+            or opt.use_photo_geo_loss
+            or opt.use_improved_mini_reproj_loss
+            or opt.dataset in ("nyu_raw", "mc_dataset", "mc_mini_dataset")
+        )
+        pipeline = "indoor" if indoor else "outdoor"
+    if pipeline == "indoor":
+        from sfmnext_tpu.training.indoor import forward_indoor
+
+        return forward_indoor
+    return forward
+
+
 def make_train_step(
     opt: Options,
     models: ModelBundle,
@@ -88,21 +105,24 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     augment: bool = False,
+    pipeline: str = "auto",
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     With ``augment=True`` the 50% flip + ColorJitter runs on device inside
     the step (data/augment.py) — the host feed only ships decoded frames.
     """
+    forward_fn = select_pipeline(opt, pipeline)
+    flip_ok = opt.dataset not in ("nyu_raw",)  # indoor NYU disables flip
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         if augment:
             rng, k_aug = jax.random.split(rng)
-            batch = augment_batch(batch, k_aug)
+            batch = augment_batch(batch, k_aug, allow_flip=flip_ok)
 
         def loss_fn(params):
-            total, aux = forward(
+            total, aux = forward_fn(
                 models, params, state.batch_stats, batch, rng, opt
             )
             return total, aux
@@ -139,11 +159,13 @@ def make_train_step(
     )
 
 
-def make_eval_step(opt: Options, models: ModelBundle, mesh=None):
+def make_eval_step(opt: Options, models: ModelBundle, mesh=None,
+                   pipeline: str = "auto"):
     """Jitted forward-only step returning (metrics, outputs)."""
+    forward_fn = select_pipeline(opt, pipeline)
 
     def eval_step(params, batch_stats, batch):
-        total, aux = forward(models, params, batch_stats, batch, None, opt)
+        total, aux = forward_fn(models, params, batch_stats, batch, None, opt)
         return aux["metrics"], aux["outputs"]
 
     if mesh is None:
