@@ -97,6 +97,7 @@ class SQLDecoder(nn.Module):
     max_tokens: int = 500
     deterministic: bool = True
     dtype: object = None
+    return_energy: bool = False  # expose energy maps (attn_visualize tool)
 
     @nn.compact
     def __call__(self, x0):
@@ -189,4 +190,7 @@ class SQLDecoder(nn.Module):
             energy, conv_w, conv_b, centers, compute_dtype=self.dtype
         )
 
-        return {"disp0": depth.astype(jnp.float32), "bin_centers": centers}
+        out = {"disp0": depth.astype(jnp.float32), "bin_centers": centers}
+        if self.return_energy:
+            out["energy"] = energy
+        return out
