@@ -85,16 +85,26 @@ def reflection_pad_2d(x, pad: int):
 
 
 def avg_pool_same(x, k: int):
-    """k x k average pool, stride 1, VALID, on [B,H,W,C]."""
-    y = jax.lax.reduce_window(
-        x,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="VALID",
+    """k x k average pool, stride 1, VALID, on [B,H,W,C].
+
+    Implemented as two separable depthwise convolutions (k x 1 then 1 x k)
+    — on TPU these lower to efficient convs instead of a 49-tap
+    reduce_window.
+    """
+    c = x.shape[-1]
+    dtype = x.dtype
+    kern_h = jnp.full((k, 1, 1, 1), 1.0 / k, dtype)
+    kern_w = jnp.full((1, k, 1, 1), 1.0 / k, dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (k, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, jnp.tile(kern_h, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c,
     )
-    return y / (k * k)
+    y = jax.lax.conv_general_dilated(
+        y, jnp.tile(kern_w, (1, 1, 1, c)), (1, 1), "VALID",
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    return y
 
 
 def ssim(x, y, k: int = 7, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2):

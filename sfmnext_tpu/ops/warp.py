@@ -24,10 +24,38 @@ _HI = jax.lax.Precision.HIGHEST  # pixel-coordinate matmuls stay f32
 from sfmnext_tpu.ops import geometry
 
 
-def _gather_2d(img_flat, iy, ix, width: int):
-    """Gather pixels: img_flat [B,H*W,C], iy/ix [B,N] int32 -> [B,N,C]."""
-    idx = iy * width + ix
-    return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
+def _unnormalize(grid, h, w, align_corners):
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+    return fx, fy
+
+
+def _gather_quads(img, y0, x0):
+    """One XLA gather of contiguous (2,2,C) windows: img [H,W,C],
+    y0/x0 [N] int32 (pre-clamped to [0, H-2]/[0, W-2]) -> [N,2,2,C].
+
+    TPU-critical: a single gather with multi-element contiguous slices is
+    ~an order of magnitude faster than 4 scalar-index gathers
+    (take_along_axis), which made the naive formulation the #1 cost of the
+    whole train step (90 ms/call at 8x320x1024).
+    """
+    c = img.shape[-1]
+    starts = jnp.stack([y0, x0], axis=-1)  # [N,2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        img, starts, dnums, slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
 
 
 def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = True):
@@ -35,52 +63,71 @@ def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = T
 
     Grid (x, y) in [-1, 1]; matches torch semantics for both
     ``padding_mode`` in {'border','zeros'} and both align_corners modes.
+
+    Border mode: coordinates are edge-clamped *before* the corner split, so
+    the four corners of each sample form a contiguous 2x2 window and the
+    whole sample is one gather (see _gather_quads). Zeros mode keeps
+    per-corner masks; corners outside the frame contribute 0, and the 2x2
+    window trick stays exact because any corner whose clamped position
+    differs from its true position is out of bounds, hence masked.
     """
     b, h, w, c = img.shape
     _, oh, ow, _ = grid.shape
-    gx = grid[..., 0].reshape(b, -1)
-    gy = grid[..., 1].reshape(b, -1)
+    fx, fy = _unnormalize(grid.reshape(b, -1, 2), h, w, align_corners)
 
-    if align_corners:
-        fx = (gx + 1.0) * 0.5 * (w - 1)
-        fy = (gy + 1.0) * 0.5 * (h - 1)
-    else:
-        fx = ((gx + 1.0) * w - 1.0) * 0.5
-        fy = ((gy + 1.0) * h - 1.0) * 0.5
+    if padding_mode == "border":
+        fxc = jnp.clip(fx, 0.0, w - 1)
+        fyc = jnp.clip(fy, 0.0, h - 1)
+        x0 = jnp.clip(jnp.floor(fxc), 0, w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(fyc), 0, h - 2).astype(jnp.int32)
+        wx1 = fxc - x0  # in [0,1]
+        wy1 = fyc - y0
+        quads = jax.vmap(_gather_quads)(img, y0, x0)  # [B,N,2,2,C]
+        wx1 = wx1[..., None]
+        wy1 = wy1[..., None]
+        top = quads[:, :, 0, 0] * (1 - wx1) + quads[:, :, 0, 1] * wx1
+        bot = quads[:, :, 1, 0] * (1 - wx1) + quads[:, :, 1, 1] * wx1
+        out = top * (1 - wy1) + bot * wy1
+        return out.reshape(b, oh, ow, c)
 
+    # zeros padding: weights from the *unclamped* corner positions, with
+    # per-corner in-bounds masks (torch semantics).
     x0f = jnp.floor(fx)
     y0f = jnp.floor(fy)
-    wx1 = fx - x0f
-    wy1 = fy - y0f
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
-
+    wx1 = (fx - x0f)[..., None]
+    wy1 = (fy - y0f)[..., None]
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
-    x1 = x0 + 1
-    y1 = y0 + 1
 
-    def corner(iy, ix):
-        cy = jnp.clip(iy, 0, h - 1)
-        cx = jnp.clip(ix, 0, w - 1)
-        v = _gather_2d(img.reshape(b, h * w, c), cy, cx, w)
-        if padding_mode == "zeros":
-            inb = (
-                (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-            ).astype(img.dtype)
-            v = v * inb[..., None]
-        return v
+    x0c = jnp.clip(x0, 0, w - 2)
+    y0c = jnp.clip(y0, 0, h - 2)
+    quads = jax.vmap(_gather_quads)(img, y0c, x0c)  # [B,N,2,2,C]
+
+    def mask(iy, ix):
+        return (
+            (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+        ).astype(img.dtype)[..., None]
+
+    def corner(dy, dx):
+        # true corner position may sit at window offset (y0+dy-y0c, x0+dx-x0c)
+        # when clamping shifted the window; select the right cell.
+        oy = ((y0 + dy) == (y0c + 1))[..., None]
+        ox = ((x0 + dx) == (x0c + 1))[..., None]
+        row0 = jnp.where(ox, quads[:, :, 0, 1], quads[:, :, 0, 0])
+        row1 = jnp.where(ox, quads[:, :, 1, 1], quads[:, :, 1, 0])
+        return jnp.where(oy, row1, row0) * mask(y0 + dy, x0 + dx)
 
     out = (
-        corner(y0, x0) * (wy0 * wx0)[..., None]
-        + corner(y0, x1) * (wy0 * wx1)[..., None]
-        + corner(y1, x0) * (wy1 * wx0)[..., None]
-        + corner(y1, x1) * (wy1 * wx1)[..., None]
+        corner(0, 0) * (1 - wy1) * (1 - wx1)
+        + corner(0, 1) * (1 - wy1) * wx1
+        + corner(1, 0) * wy1 * (1 - wx1)
+        + corner(1, 1) * wy1 * wx1
     )
     return out.reshape(b, oh, ow, c)
 
 
-def warp_frame(src_img, depth, inv_K, K, T, padding_mode: str = "border"):
+def warp_frame(src_img, depth, inv_K, K, T, padding_mode: str = "border",
+               use_pallas: bool = False):
     """Backproject target depth, transform by T, project, and sample src.
 
     The main-path view-synthesis warp (trainer.py:423-435):
@@ -90,13 +137,24 @@ def warp_frame(src_img, depth, inv_K, K, T, padding_mode: str = "border"):
       src_img: [B,H,W,C] source frame to sample from.
       depth:   [B,H,W,1] target-frame depth.
       inv_K, K: [B,4,4]; T: [B,4,4] target->source.
+      use_pallas: route the sample through the banded Pallas warp kernel
+        (training hot path; ~5x faster than the XLA gather on v5e). Only
+        valid for border mode with W % 128 == 0, H % 8 == 0, and when no
+        gradient w.r.t. src_img is needed.
     Returns:
       (warped [B,H,W,C], pix_coords [B,H,W,2]).
     """
     b, h, w, _ = src_img.shape
     cam_points = geometry.backproject_depth(depth, inv_K)
     pix_coords = geometry.project_3d(cam_points, K, T, h, w)
-    warped = grid_sample(src_img, pix_coords, padding_mode=padding_mode, align_corners=True)
+    if use_pallas and padding_mode == "border" and w % 128 == 0 and h % 8 == 0:
+        from sfmnext_tpu.ops.pallas.warp_kernel import grid_sample_pallas
+
+        warped = grid_sample_pallas(src_img, pix_coords, align_corners=True)
+    else:
+        warped = grid_sample(
+            src_img, pix_coords, padding_mode=padding_mode, align_corners=True
+        )
     return warped, pix_coords
 
 

@@ -137,7 +137,14 @@ def forward(
             T = geometry.transformation_from_parameters(aa, t, invert=(f_i < 0))
 
         src = batch["color"][:, idx]
-        warped, pix = warp_frame(src, depth, inv_K, K, T)
+        # Pallas banded warp on the training path (device=TPU, shapes
+        # aligned); XLA gather elsewhere (exact reference semantics)
+        use_pallas = (
+            opt.use_pallas
+            and train
+            and jax.default_backend() == "tpu"
+        )
+        warped, pix = warp_frame(src, depth, inv_K, K, T, use_pallas=use_pallas)
         outputs[f"warped_{f_i}"] = warped
 
         reproj.append(
@@ -146,9 +153,13 @@ def forward(
             )
         )
         if not opt.disable_automasking:
+            # identity losses are param-independent: stop_gradient makes
+            # the DCE of their backward explicit
             ident.append(
-                L.reprojection_loss(
-                    src, target, opt.ssim_weight, use_ssim=not opt.no_ssim
+                jax.lax.stop_gradient(
+                    L.reprojection_loss(
+                        src, target, opt.ssim_weight, use_ssim=not opt.no_ssim
+                    )
                 )
             )
 
