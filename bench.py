@@ -34,7 +34,7 @@ def main():
     from sfmnext_tpu.training.builder import build_models, init_params
     from sfmnext_tpu.training.step import TrainState, make_optimizer, make_train_step
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     height, width = 320, 1024
 
     opt = Options(

@@ -98,3 +98,106 @@ def silog_loss(pred, target, mask=None, variance_focus: float = 0.85):
         mean_g = g.mean()
         var_g = g.var()
     return 10.0 * jnp.sqrt(var_g + (1.0 - variance_focus) * mean_g * mean_g)
+
+
+def compute_pairwise_loss(tgt_img, ref_img, tgt_depth, ref_depth, pose,
+                          intrinsics, ssim_weight: float = 0.85):
+    """SC-Depth pairwise photometric/geometric terms (layers.py:343-371).
+
+    Returns (diff_img, diff_color, diff_depth, valid_mask), each [B,H,W,1].
+    """
+    from sfmnext_tpu.ops.warp import inverse_warp
+
+    warped, projected_depth, computed_depth = inverse_warp(
+        ref_img, tgt_depth, ref_depth, pose, intrinsics, padding_mode="zeros"
+    )
+    diff_depth = jnp.abs(computed_depth - projected_depth) / (
+        computed_depth + projected_depth
+    )
+
+    valid = (
+        (jnp.abs(warped).mean(-1, keepdims=True) > 1e-3)
+        & (jnp.abs(tgt_img).mean(-1, keepdims=True) > 1e-3)
+    ).astype(tgt_img.dtype)
+    diff_color = jnp.abs(tgt_img - warped).mean(-1, keepdims=True)
+    ident = jnp.abs(tgt_img - ref_img).mean(-1, keepdims=True)
+    valid = valid * (diff_color < ident).astype(tgt_img.dtype)
+
+    diff_img = jnp.clip(jnp.abs(tgt_img - warped), 0, 1)
+    diff_img = (1.0 - ssim_weight) * diff_img + ssim_weight * ssim(tgt_img, warped)
+    diff_img = diff_img.mean(-1, keepdims=True)
+    diff_img = diff_img * jax.lax.stop_gradient(1.0 - diff_depth)
+    return diff_img, diff_color, diff_depth, valid
+
+
+def mean_on_mask(diff, valid_mask, min_count: int = 100):
+    """Masked mean, zero when too few valid pixels (layers.py:374-380)."""
+    s = valid_mask.sum()
+    return jnp.where(
+        s > min_count, (diff * valid_mask).sum() / jnp.maximum(s, 1.0), 0.0
+    )
+
+
+def photo_and_geometry_loss(tgt_img, ref_imgs, tgt_depth, ref_depths,
+                            intrinsics, poses, poses_inv,
+                            ssim_weight: float = 0.85):
+    """SC-Depth bidirectional loss (layers.py:302-340): both warp directions
+    per reference frame, argmin frame selection by color diff."""
+    diff_imgs, diff_colors, diff_depths, valids = [], [], [], []
+    for ref_img, ref_depth, pose, pose_inv in zip(
+        ref_imgs, ref_depths, poses, poses_inv
+    ):
+        for a_img, b_img, a_d, b_d, p in (
+            (tgt_img, ref_img, tgt_depth, ref_depth, pose),
+            (ref_img, tgt_img, ref_depth, tgt_depth, pose_inv),
+        ):
+            di, dc, dd, vm = compute_pairwise_loss(
+                a_img, b_img, a_d, b_d, p, intrinsics, ssim_weight
+            )
+            diff_imgs.append(di)
+            diff_colors.append(dc)
+            diff_depths.append(dd)
+            valids.append(vm)
+
+    diff_img = jnp.concatenate(diff_imgs, -1)
+    diff_color = jnp.concatenate(diff_colors, -1)
+    diff_depth = jnp.concatenate(diff_depths, -1)
+    valid = jnp.concatenate(valids, -1)
+
+    idx = jnp.argmin(diff_color, axis=-1, keepdims=True)
+    take = lambda x: jnp.take_along_axis(x, idx, axis=-1)
+    photo = mean_on_mask(take(diff_img), take(valid))
+    geo = mean_on_mask(take(diff_depth), take(valid))
+    return photo, geo
+
+
+def l2_loss(pred, target, mask=None):
+    """MSE alternate to SILog (finetune/loss.py:7-21)."""
+    if mask is not None:
+        m = mask.astype(pred.dtype)
+        return (((pred - target) ** 2) * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return ((pred - target) ** 2).mean()
+
+
+def bins_chamfer_loss(bin_edges, target_depth, valid_mask=None):
+    """Bin-centers chamfer regularizer (finetune/loss.py:45-63, AdaBins).
+
+    The reference needs pytorch3d (import commented out); here: masked
+    symmetric chamfer between bin centers [B,D+1->D] and target depths.
+    """
+    centers = 0.5 * (bin_edges[:, 1:] + bin_edges[:, :-1])  # [B,D]
+    b = centers.shape[0]
+    tgt = target_depth.reshape(b, -1)  # [B,N]
+    if valid_mask is None:
+        valid_mask = tgt >= 1e-3
+    else:
+        valid_mask = valid_mask.reshape(b, -1)
+    m = valid_mask.astype(centers.dtype)
+    big = 1e9
+    d2 = (centers[:, :, None] - tgt[:, None, :]) ** 2  # [B,D,N]
+    d2_masked = jnp.where(valid_mask[:, None, :], d2, big)
+    # centers -> nearest target
+    c2t = d2_masked.min(axis=2).mean(axis=1)
+    # targets -> nearest center (masked mean)
+    t2c = (d2.min(axis=1) * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+    return (c2t + t2c).mean()

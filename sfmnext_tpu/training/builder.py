@@ -17,8 +17,10 @@ from sfmnext_tpu.config import Options
 from sfmnext_tpu.models import (
     LiteResnetEncoderDecoder,
     PoseCNN,
+    PoseDecoder,
     RectifyNet,
     ResnetEncoderDecoder,
+    ResNetEncoder,
     SQLDecoder,
 )
 
@@ -32,6 +34,7 @@ class ModelBundle:
     pose: Optional[Any]
     rectify: Optional[Any]
     train: bool
+    pose_encoder: Optional[Any] = None  # separate_resnet pose path
 
 
 def compute_dtype(opt: Options):
@@ -90,11 +93,20 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
         dtype=dtype,
     )
 
-    pose = (
-        PoseCNN(num_input_frames=2, dtype=dtype) if opt.use_pose_net else None
-    )
+    pose = None
+    pose_encoder = None
+    if opt.use_pose_net:
+        if opt.pose_model_type == "separate_resnet":
+            # ResNet-18 over the stacked pair + PoseDecoder
+            # (reference trainer option, options.py:258-263)
+            pose_encoder = ResNetEncoder(
+                num_layers=18, num_input_images=2, train=train, dtype=dtype
+            )
+            pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+        else:  # posecnn (default)
+            pose = PoseCNN(num_input_frames=2, dtype=dtype)
     rectify = RectifyNet(train=train) if opt.use_rectify_net else None
-    return ModelBundle(encoder, depth, pose, rectify, train)
+    return ModelBundle(encoder, depth, pose, rectify, train, pose_encoder)
 
 
 def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
@@ -116,7 +128,23 @@ def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
     }
 
     if models.pose is not None:
-        pose_vars = models.pose.init(k_pose, jnp.zeros((1, h, w, 6), jnp.float32))
+        if models.pose_encoder is not None:
+            pe_vars = models.pose_encoder.init(
+                k_pose, jnp.zeros((1, h, w, 6), jnp.float32)
+            )
+            params["pose_encoder"] = pe_vars["params"]
+            batch_stats["pose_encoder"] = pe_vars.get("batch_stats", {})
+            feats, _ = models.pose_encoder.apply(
+                {"params": pe_vars["params"],
+                 "batch_stats": pe_vars.get("batch_stats", {})},
+                jnp.zeros((1, h, w, 6), jnp.float32),
+                mutable=["batch_stats"],
+            )
+            pose_vars = models.pose.init(k_pose, [feats])
+        else:
+            pose_vars = models.pose.init(
+                k_pose, jnp.zeros((1, h, w, 6), jnp.float32)
+            )
         params["pose"] = pose_vars["params"]
         batch_stats["pose"] = pose_vars.get("batch_stats", {})
     if models.rectify is not None:

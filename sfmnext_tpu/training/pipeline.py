@@ -44,10 +44,12 @@ def _apply(model, params, batch_stats, *args, train: bool, rng=None):
 
 
 def predict_poses(
-    models: ModelBundle, params, batch, frame_ids
+    models: ModelBundle, params, batch, frame_ids, batch_stats=None
 ) -> Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """PoseCNN on temporally-ordered frame pairs (trainer.py:306-337).
+    """Pose nets on temporally-ordered frame pairs (trainer.py:306-337).
 
+    posecnn (default): raw pair through PoseCNN. separate_resnet: pair
+    through a 2-image ResNet-18 + PoseDecoder (trainer.py:324-325).
     Returns {frame_id: (axisangle [B,3], translation [B,3])}.
     """
     out = {}
@@ -59,7 +61,19 @@ def predict_poses(
             pair = jnp.concatenate([color_aug[:, idx], color_aug[:, 0]], axis=-1)
         else:
             pair = jnp.concatenate([color_aug[:, 0], color_aug[:, idx]], axis=-1)
-        aa, t = models.pose.apply({"params": params["pose"]}, pair)
+        if models.pose_encoder is not None:
+            feats, pe_stats = _apply(
+                models.pose_encoder,
+                params["pose_encoder"],
+                (batch_stats or {}).get("pose_encoder"),
+                pair,
+                train=models.train,
+            )
+            if batch_stats is not None:
+                batch_stats["pose_encoder"] = pe_stats
+            aa, t = models.pose.apply({"params": params["pose"]}, [feats])
+        else:
+            aa, t = models.pose.apply({"params": params["pose"]}, pair)
         out[f_i] = (aa[:, 0, 0], t[:, 0, 0])
     return out
 
@@ -111,9 +125,10 @@ def forward(
     if "bin_centers" in dec_out:
         outputs["bin_centers"] = dec_out["bin_centers"]
 
-    # 2. poses
+    # 2. poses (predict_poses updates pose_encoder BN stats in-place on
+    # the dict we hand it)
     poses = (
-        predict_poses(models, params, batch, frame_ids)
+        predict_poses(models, params, batch, frame_ids, new_batch_stats)
         if models.pose is not None
         else {}
     )

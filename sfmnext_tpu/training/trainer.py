@@ -160,6 +160,11 @@ class Trainer:
         self.epoch = 0
         self.step = 0
 
+        # resume (reference load_model, trainer.py:662-688)
+        if opt.load_weights_folder:
+            self.load_model(opt.load_weights_folder)
+            self.step = int(self.state.step)
+
     # -------------------------------------------------------------- warm start
     def _warm_start(self, variables, folder):
         """Load pretrained encoder+depth (reference trainer.py:66-90).

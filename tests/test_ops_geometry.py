@@ -144,3 +144,36 @@ def test_smoothness_zero_for_constant_disp():
     disp = jnp.ones((1, 8, 8, 1))
     img = jnp.asarray(np.random.RandomState(7).rand(1, 8, 8, 3).astype(np.float32))
     assert float(losses.edge_aware_smoothness(disp, img)) == 0.0
+
+
+def test_photo_and_geometry_loss_runs():
+    from sfmnext_tpu.ops.losses import photo_and_geometry_loss
+
+    rng = np.random.RandomState(8)
+    b, h, w = 1, 16, 24
+    tgt = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    ref = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    d = jnp.asarray(rng.rand(b, h, w, 1) * 5 + 1, jnp.float32)
+    K3 = jnp.asarray(
+        np.broadcast_to(
+            np.array([[10.0, 0, 12], [0, 10, 8], [0, 0, 1]], np.float32),
+            (b, 3, 3),
+        )
+    )
+    pose = jnp.zeros((b, 6))
+    photo, geo = photo_and_geometry_loss(
+        tgt, [ref], d, [d], K3, [pose], [pose]
+    )
+    assert np.isfinite(float(photo)) and np.isfinite(float(geo))
+
+
+def test_bins_chamfer_loss_zero_when_centers_match():
+    from sfmnext_tpu.ops.losses import bins_chamfer_loss
+
+    edges = jnp.asarray([[1.0, 3.0, 5.0]])  # centers 2, 4
+    target = jnp.asarray([[2.0, 4.0, 2.0, 4.0]])
+    val = float(bins_chamfer_loss(edges, target))
+    assert val < 1e-6
+
+    target2 = jnp.asarray([[2.0, 6.0]])
+    assert float(bins_chamfer_loss(edges, target2)) > 0.5

@@ -139,3 +139,16 @@ def test_gradient_accumulation(setup):
     s2, _ = step_fn(s1, batch, jax.random.PRNGKey(2))
     p2 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
     assert not np.allclose(p1, p2)
+
+
+def test_separate_resnet_pose_path():
+    opt = tiny_options(pose_model_type="separate_resnet")
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    assert "pose_encoder" in variables["params"]
+    tx = make_optimizer(opt, 2)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(opt, models, tx, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(2, 64, 96))
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
