@@ -48,8 +48,12 @@ def load_eval_variables(opt: Options):
     """Restore weights for evaluation from --load_weights_folder.
 
     Accepts an orbax checkpoint dir or a reference-style folder of .pth
-    files (evaluate_depth_config.py:92-117).
+    files (evaluate_depth_config.py:92-117). Evaluation runs in f32 for
+    metric parity with the reference (training defaults to bf16).
     """
+    import dataclasses
+
+    opt = dataclasses.replace(opt, compute_dtype="float32")
     models = build_models(opt, train=False)
     from sfmnext_tpu.training.builder import init_params
 

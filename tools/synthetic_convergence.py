@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Learning validation: SSL training on synthetic scenes must cut abs_rel.
+
+Trains the full photometric pipeline (ResNet-18 SQLdepth + PoseCNN) on the
+synthetic drive dataset for N steps on the TPU and reports GT abs_rel on a
+held-out batch at intervals. No real data needed; this validates that the
+end-to-end system (warps, losses, optimizer, bf16, Pallas kernel) actually
+learns depth from parallax.
+
+    python tools/synthetic_convergence.py [steps] [height width]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sfmnext_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from sfmnext_tpu.config import Options
+from sfmnext_tpu.data.synthetic import SyntheticDriveDataset
+from sfmnext_tpu.training.builder import build_models, init_params
+from sfmnext_tpu.training.pipeline import train_depth_metrics
+from sfmnext_tpu.training.step import TrainState, make_optimizer, make_train_step
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    h = int(sys.argv[2]) if len(sys.argv) > 3 else 192
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 640
+    bs = 8
+
+    opt = Options(
+        backbone="resnet", num_layers=18, num_features=256, model_dim=32,
+        patch_size=12, query_nums=128, dim_out=64, height=h, width=w,
+        batch_size=bs, min_depth=0.1, max_depth=40.0,
+        learning_rate=2e-4,
+    ).validate()
+
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    tx = make_optimizer(opt, steps_per_epoch=10_000)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(opt, models, tx, donate=True)
+    metric_fn = jax.jit(train_depth_metrics)
+
+    from sfmnext_tpu.training.step import make_eval_step
+
+    models_eval = build_models(opt, train=False)
+    eval_fn = make_eval_step(opt, models_eval)
+
+    ds = SyntheticDriveDataset(h, w, seed=1)
+    held = ds.batch(bs)
+    held_j = {k: jnp.asarray(v) for k, v in held.items()}
+
+    rng = jax.random.PRNGKey(0)
+    history = []
+    t0 = time.time()
+    for step in range(steps + 1):
+        if step % 100 == 0:
+            # eval depth on the held-out batch through the current params
+            m, outputs = eval_fn(state.params, state.batch_stats, held_j)
+            dm = metric_fn(outputs["depth"], held_j["depth_gt"])
+            rec = {
+                "step": step,
+                "loss": float(m["loss"]),
+                "abs_rel": float(dm["de/abs_rel"]),
+                "rmse": float(dm["de/rms"]),
+                "a1": float(dm["da/a1"]),
+                "elapsed": round(time.time() - t0, 1),
+            }
+            history.append(rec)
+            print(json.dumps(rec), flush=True)
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(bs).items()}
+        batch.pop("depth_gt")
+        state, metrics = step_fn(state, batch, rng)
+
+    first, last = history[0], history[-1]
+    print(
+        f"\nabs_rel {first['abs_rel']:.3f} -> {last['abs_rel']:.3f}, "
+        f"a1 {first['a1']:.3f} -> {last['a1']:.3f} over {steps} steps"
+    )
+    assert last["abs_rel"] < first["abs_rel"] * 0.8, "did not learn"
+
+
+if __name__ == "__main__":
+    main()
