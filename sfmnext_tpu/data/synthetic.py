@@ -18,9 +18,11 @@ KITTI_NORMALIZED_K = np.array(
 
 
 def _texture(rng, h, w):
-    """Smooth random RGB texture in [0,1] (low-frequency, warp-friendly)."""
+    """Random RGB texture in [0,1]: low-frequency base + fine detail.
+
+    The fine detail matters — a too-smooth texture gives the photometric
+    loss almost no gradient signal for depth."""
     small = rng.rand(h // 8 + 2, w // 8 + 2, 3).astype(np.float32)
-    # bilinear upsample by repetition + box blur for smoothness
     img = np.kron(small, np.ones((8, 8, 1), np.float32))[:h, :w]
     for _ in range(2):
         img = (
@@ -30,7 +32,8 @@ def _texture(rng, h, w):
             + np.roll(img, 1, 1)
             + np.roll(img, -1, 1)
         ) / 5.0
-    return img
+    detail = rng.rand(h, w, 1).astype(np.float32)
+    return np.clip(0.75 * img + 0.25 * detail, 0.0, 1.0)
 
 
 class SyntheticDriveDataset:
@@ -85,7 +88,7 @@ class SyntheticDriveDataset:
         depth_gt = np.zeros((batch_size, self.h, self.w, 1), np.float32)
         for b in range(batch_size):
             tex, depth = self._scene()
-            speed = self.rng.uniform(0.05, 0.15)
+            speed = self.rng.uniform(0.2, 0.5)
             for fi, f in enumerate(self.frame_ids):
                 color[b, fi] = self._render(tex, depth, tx=speed * f)
             depth_gt[b, :, :, 0] = depth
