@@ -121,6 +121,7 @@ class Options:
     seed: int = 0
     mesh_shape: Optional[int] = None  # data-parallel degree; None = all devices
     use_pallas: bool = True  # fused SQL kernels where profitable
+    remat: bool = False  # rematerialize the encoder (memory for FLOPs)
     log_jsonl: bool = True  # metrics to <log_dir>/<model_name>/metrics.jsonl
     steps_per_epoch: Optional[int] = None  # override (synthetic/testing)
 

@@ -99,13 +99,16 @@ def forward(
     b, f, h, w, _ = batch["color"].shape
 
     # 1. depth from the target frame (augmented input, trainer.py:286-288)
-    feats, bs_enc = _apply(
-        models.encoder,
-        params["encoder"],
-        batch_stats.get("encoder"),
-        batch["color_aug"][:, 0],
-        train=train,
-    )
+    def encoder_fwd(p, x):
+        return _apply(
+            models.encoder, p, batch_stats.get("encoder"), x, train=train
+        )
+
+    if opt.remat:
+        # trade encoder activation memory for recompute (enables bs32 on
+        # a 16G v5e at 320x1024)
+        encoder_fwd = jax.checkpoint(encoder_fwd)
+    feats, bs_enc = encoder_fwd(params["encoder"], batch["color_aug"][:, 0])
     dec_out, bs_dep = _apply(
         models.depth,
         params["depth"],
