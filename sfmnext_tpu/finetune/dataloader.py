@@ -73,11 +73,13 @@ class DepthDataset:
             }
 
         if self.do_kb_crop and self.dataset == "kitti":
-            # bottom-center 352x1216 (reference dataloader.py kb_crop)
+            # bottom-center 352x1216 (reference dataloader.py kb_crop);
+            # skipped when the frame is smaller than the crop
             w, h = image.size
-            top, left = h - 352, (w - 1216) // 2
-            image = image.crop((left, top, left + 1216, top + 352))
-            depth = depth.crop((left, top, left + 1216, top + 352))
+            if w >= 1216 and h >= 352:
+                top, left = h - 352, (w - 1216) // 2
+                image = image.crop((left, top, left + 1216, top + 352))
+                depth = depth.crop((left, top, left + 1216, top + 352))
 
         if self.mode == "train":
             if self.degree > 0:

@@ -31,9 +31,14 @@ from sfmnext_tpu.training.step import TrainState
 
 def onecycle_schedule(lr: float, total_steps: int, div_factor: float = 25.0,
                       final_div_factor: float = 100.0, pct_start: float = 0.3):
-    """torch OneCycleLR (cos anneal) equivalent."""
+    """torch OneCycleLR (cos anneal) equivalent.
+
+    optax's cosine_onecycle divides by segment lengths — a tiny
+    total_steps (smoke tests) yields zero-length segments and NaN LRs, so
+    clamp to a sane minimum.
+    """
     return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
+        transition_steps=max(int(total_steps), 10),
         peak_value=lr,
         pct_start=pct_start,
         div_factor=div_factor,
@@ -153,7 +158,7 @@ class FinetuneTrainer:
         total_steps = max(1, len(train_loader)) * epochs
         self.tx = make_finetune_optimizer(lr, total_steps, weight_decay)
         self.state = TrainState.create(variables, self.tx)
-        self.step_fn = make_finetune_step(opt, self.models)
+        self.step_fn = make_finetune_step(opt, self.models, self.tx)
         self.train_loader = train_loader
         self.test_loader = test_loader
         self.epochs = epochs

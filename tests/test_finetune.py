@@ -102,3 +102,10 @@ def test_torch_export_roundtrip():
         jax.tree_util.tree_leaves(p4),
     ):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_onecycle_no_nan_for_tiny_total_steps():
+    """optax cosine_onecycle NaNs on zero-length segments; we clamp."""
+    sched = onecycle_schedule(1e-3, 2)
+    for i in range(4):
+        assert np.isfinite(float(sched(i))), i
