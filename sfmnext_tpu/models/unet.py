@@ -86,15 +86,30 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if not self.backbone.startswith("convnext"):
+        if self.backbone.startswith("convnext"):
+            depths, dims = convnext_cfg(self.backbone)
+            feats = ConvNeXt(
+                depths, dims, self.train, self.dtype, name="encoder"
+            )(x)
+        elif self.backbone.startswith("resnet"):
+            from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
+
+            layers = int("".join(c for c in self.backbone if c.isdigit()) or 50)
+            if layers not in RESNET_SPECS:
+                raise ValueError(f"unknown resnet variant {self.backbone!r}")
+            # drop the stride-2 stem tap: 4 skips at strides 4/8/16/32 so the
+            # 4 decoder blocks land at 1/2 resolution (timm features_only
+            # convention for resnets gives 5; the wiring is equivalent)
+            feats = ResNetEncoder(
+                num_layers=layers, train=self.train, dtype=self.dtype,
+                normalize_input=False, name="encoder",
+            )(x)[1:]
+        else:
             raise NotImplementedError(
-                f"backbone {self.backbone!r}: convnext_* family implemented; "
-                "use backbone='resnet'/'eff_b5' for the other reference paths"
+                f"backbone {self.backbone!r}: convnext_* / resnet* families "
+                "implemented; use backbone='resnet'/'eff_b5' for the other "
+                "reference paths"
             )
-        depths, dims = convnext_cfg(self.backbone)
-        feats = ConvNeXt(
-            depths, dims, self.train, self.dtype, name="encoder"
-        )(x)
         out = UnetDecoder(
             tuple(self.decoder_channels),
             self.num_classes,

@@ -100,3 +100,29 @@ def test_rectify_net_pitch_zeroed():
     rot = m.apply(variables, img, img)
     assert rot.shape == (2, 3)
     np.testing.assert_allclose(np.asarray(rot[:, 2]), 0.0)
+
+
+def test_effb5_encoder_decoder_contract():
+    from sfmnext_tpu.models.efficientnet import BaseEncoderDecoder, EfficientNetB5
+
+    m = EfficientNetB5()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    taps = m.apply(v, jnp.zeros((1, 64, 96, 3)))
+    # decoder taps: strides 2/4/8/16/32, channels per reference wiring
+    assert [t.shape[-1] for t in taps] == [24, 40, 64, 176, 2048]
+    assert [t.shape[1] for t in taps] == [32, 16, 8, 4, 2]
+
+    ed = BaseEncoderDecoder(num_features=256, model_dim=16)
+    v2 = ed.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    y = ed.apply(v2, jnp.zeros((1, 64, 96, 3)))
+    assert y.shape == (1, 32, 48, 16)
+
+
+@pytest.mark.parametrize("backbone", ["convnext_atto", "resnet18"])
+def test_unet_backbones_half_res_contract(backbone):
+    from sfmnext_tpu.models.unet import Unet
+
+    m = Unet(backbone=backbone, num_classes=16, decoder_channels=(64, 48, 32, 16))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    y = m.apply(v, jnp.zeros((1, 64, 96, 3)))
+    assert y.shape == (1, 32, 48, 16)
