@@ -114,8 +114,14 @@ def evaluate_predictions(
     pred_depths: np.ndarray,
     gt_depths,
     eval_split: str = "eigen",
+    error_maps_out: Optional[list] = None,
 ) -> dict:
-    """Crop/scale/clamp + 7-metric mean (evaluate_depth_config.py:209-277)."""
+    """Crop/scale/clamp + 7-metric mean (evaluate_depth_config.py:209-277).
+
+    If ``error_maps_out`` is a list, per-image |gt-pred|*mask maps at GT
+    resolution are appended to it (reference :246-250, saved behind
+    --save_pred_disps).
+    """
     errors, ratios = [], []
     use_median = opt.eval_mono and not opt.disable_median_scaling
 
@@ -132,6 +138,9 @@ def evaluate_predictions(
             mask &= M.eigen_crop_mask(gh, gw)
         else:
             mask = gt > 0
+
+        if error_maps_out is not None:
+            error_maps_out.append(np.abs(gt - pred) * mask)
 
         p, g = pred[mask], gt[mask]
         if use_median:
@@ -158,38 +167,93 @@ def print_metric_row(result: dict):
     print(("&{: 8.3f}  " * 7).format(*[result[k] for k in keys]) + "\\\\")
 
 
+def save_benchmark_predictions(preds: np.ndarray, save_dir: str):
+    """Resize to 352x1216, 5.4/d uint16*256 pngs (evaluate_depth_config.py:195-207)."""
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    for idx in range(len(preds)):
+        resized = resize_np_bilinear(preds[idx], (352, 1216))
+        depth = np.clip(STEREO_SCALE_FACTOR / np.maximum(resized, 1e-8), 0, 80)
+        depth = (depth * 256).astype(np.uint16)
+        Image.fromarray(depth).save(os.path.join(save_dir, f"{idx:010d}.png"))
+
+
 def evaluate(opt: Options) -> dict:
-    """Full split evaluation (CLI entry equivalent)."""
-    assert int(opt.eval_mono) + int(opt.eval_stereo) == 1, (
-        "choose exactly one of --eval_mono / --eval_stereo"
-    )
-    from sfmnext_tpu.data.loader import PrefetchLoader
-    from sfmnext_tpu.data.mono_dataset import read_lines
-    from sfmnext_tpu.training.trainer import find_splits_dir, make_dataset
+    """Full split evaluation (CLI entry equivalent).
+
+    Covers all reference codepaths of evaluate_depth_config.py:62-277:
+    forward-or-external predictions (--ext_disp_to_eval, :167-176),
+    eigen→benchmark id remap (:171-176), disparity/error-map dumps
+    (--save_pred_disps, :178-186, :268-272), --no_eval early exit (:188-190),
+    and benchmark-split png export (:192-207).
+    """
+    from sfmnext_tpu.training.trainer import find_splits_dir
 
     splits_dir = find_splits_dir()
-    files = read_lines(
-        os.path.join(splits_dir, opt.eval_split, "test_files.txt")
-    )
-    import dataclasses
+    out_dir = opt.eval_out_dir or opt.load_weights_folder or "."
 
-    ds_opt = dataclasses.replace(opt, frame_ids=(0,), use_stereo=False)
-    dataset = make_dataset(ds_opt, files, is_train=False)
-    dataset.load_depth = False
-    loader = PrefetchLoader(
-        dataset, 1, shuffle=False, num_workers=opt.num_workers, drop_last=False
-    )
+    if opt.ext_disp_to_eval:
+        print(f"-> Loading predictions from {opt.ext_disp_to_eval}")
+        preds = np.load(opt.ext_disp_to_eval)
+        if opt.eval_eigen_to_benchmark:
+            ids = np.load(
+                os.path.join(splits_dir, "benchmark", "eigen_to_benchmark_ids.npy")
+            )
+            preds = preds[ids]
+    else:
+        assert int(opt.eval_mono) + int(opt.eval_stereo) == 1, (
+            "choose exactly one of --eval_mono / --eval_stereo"
+        )
+        from sfmnext_tpu.data.loader import PrefetchLoader
+        from sfmnext_tpu.data.mono_dataset import read_lines
+        from sfmnext_tpu.training.trainer import make_dataset
 
-    models, variables = load_eval_variables(opt)
-    preds = predict_depths(opt, models, variables, loader, opt.post_process)
+        files = read_lines(
+            os.path.join(splits_dir, opt.eval_split, "test_files.txt")
+        )
+        import dataclasses
 
-    if opt.save_pred_disps and opt.eval_out_dir:
-        os.makedirs(opt.eval_out_dir, exist_ok=True)
-        np.save(os.path.join(opt.eval_out_dir, "pred_depths.npy"), preds)
+        ds_opt = dataclasses.replace(opt, frame_ids=(0,), use_stereo=False)
+        dataset = make_dataset(ds_opt, files, is_train=False)
+        dataset.load_depth = False
+        loader = PrefetchLoader(
+            dataset, 1, shuffle=False, num_workers=opt.num_workers, drop_last=False
+        )
+
+        models, variables = load_eval_variables(opt)
+        preds = predict_depths(opt, models, variables, loader, opt.post_process)
+
+    if opt.save_pred_disps:
+        os.makedirs(out_dir, exist_ok=True)
+        output_path = os.path.join(out_dir, f"disps_{opt.eval_split}_split.npy")
+        print(f"-> Saving predicted disparities to {output_path}")
+        np.save(output_path, preds)
+
+    if opt.no_eval:
+        print("-> Evaluation disabled. Done.")
+        return {}
+
+    if opt.eval_split == "benchmark":
+        save_dir = os.path.join(out_dir, "benchmark_predictions")
+        print(f"-> Saving out benchmark predictions to {save_dir}")
+        save_benchmark_predictions(preds, save_dir)
+        print("-> No ground truth is available for the KITTI benchmark, "
+              "so not evaluating. Done.")
+        return {}
 
     gt_path = os.path.join(splits_dir, opt.eval_split, "gt_depths.npz")
     gt_depths = np.load(gt_path, fix_imports=True, allow_pickle=True)["data"]
 
-    result = evaluate_predictions(opt, preds, gt_depths, opt.eval_split)
+    error_maps = [] if opt.save_pred_disps else None
+    result = evaluate_predictions(
+        opt, preds, gt_depths, opt.eval_split, error_maps_out=error_maps
+    )
+    if error_maps is not None:
+        error_map_path = os.path.join(out_dir, f"error_{opt.eval_split}_split.npy")
+        print(f"-> Saving error maps to {error_map_path}")
+        np.savez_compressed(
+            error_map_path, data=np.array(error_maps, dtype="object")
+        )
     print_metric_row(result)
     return result

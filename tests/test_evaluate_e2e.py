@@ -37,6 +37,88 @@ def fake_eval_setup(tmp_path, monkeypatch):
     return tmp_path
 
 
+def test_evaluate_ext_disp_and_artifacts(fake_eval_setup, tmp_path):
+    """--ext_disp_to_eval skips the model; --save_pred_disps dumps disps+errors."""
+    from sfmnext_tpu.evaluation import evaluate
+
+    rng = np.random.RandomState(1)
+    preds = (rng.rand(3, 48, 160) * 20 + 1).astype(np.float32)
+    ext = tmp_path / "ext_disps.npy"
+    np.save(ext, preds)
+    out = tmp_path / "evalout"
+
+    opt = Options(
+        backbone="resnet", num_layers=18, height=64, width=96,
+        eval_mono=True, eval_split="eigen",
+        ext_disp_to_eval=str(ext), save_pred_disps=True,
+        eval_out_dir=str(out),
+    )
+    result = evaluate(opt)
+    assert np.isfinite(result["abs_rel"])
+    assert os.path.exists(out / "disps_eigen_split.npy")
+    saved = np.load(out / "disps_eigen_split.npy")
+    np.testing.assert_array_equal(saved, preds)
+    errs = np.load(out / "error_eigen_split.npy.npz", allow_pickle=True)["data"]
+    assert len(errs) == 3 and errs[0].shape == (96, 320)
+
+
+def test_evaluate_no_eval_early_exit(fake_eval_setup, tmp_path):
+    from sfmnext_tpu.evaluation import evaluate
+
+    ext = tmp_path / "d.npy"
+    np.save(ext, np.ones((2, 48, 160), np.float32))
+    opt = Options(
+        backbone="resnet", num_layers=18, height=64, width=96,
+        eval_mono=True, eval_split="eigen",
+        ext_disp_to_eval=str(ext), no_eval=True,
+    )
+    assert evaluate(opt) == {}
+
+
+def test_evaluate_benchmark_split_saves_pngs(fake_eval_setup, tmp_path):
+    from PIL import Image
+
+    from sfmnext_tpu.evaluation import evaluate
+
+    ext = tmp_path / "d.npy"
+    np.save(ext, np.full((2, 48, 160), 5.4, np.float32))
+    out = tmp_path / "bench_out"
+    opt = Options(
+        backbone="resnet", num_layers=18, height=64, width=96,
+        eval_mono=True, eval_split="benchmark",
+        ext_disp_to_eval=str(ext), eval_out_dir=str(out),
+    )
+    assert evaluate(opt) == {}
+    png = out / "benchmark_predictions" / "0000000000.png"
+    arr = np.array(Image.open(png))
+    assert arr.shape == (352, 1216) and arr.dtype == np.uint16
+    # depth = 5.4 / 5.4 = 1.0 -> uint16 256
+    assert int(arr[176, 608]) == 256
+
+
+def test_evaluate_eigen_to_benchmark_remap(fake_eval_setup, tmp_path):
+    from sfmnext_tpu.evaluation import evaluate
+
+    # remap ids live in splits/benchmark (reference evaluate_depth_config.py:171-176)
+    bench_dir = fake_eval_setup / "splits" / "benchmark"
+    bench_dir.mkdir(parents=True)
+    np.save(bench_dir / "eigen_to_benchmark_ids.npy", np.array([2, 0]))
+
+    preds = np.stack([np.full((48, 160), v, np.float32) for v in (1, 2, 3)])
+    ext = tmp_path / "d.npy"
+    np.save(ext, preds)
+    out = tmp_path / "remap_out"
+    opt = Options(
+        backbone="resnet", num_layers=18, height=64, width=96,
+        eval_mono=True, eval_split="eigen",
+        ext_disp_to_eval=str(ext), eval_eigen_to_benchmark=True,
+        no_eval=True, save_pred_disps=True, eval_out_dir=str(out),
+    )
+    evaluate(opt)
+    saved = np.load(out / "disps_eigen_split.npy")
+    np.testing.assert_array_equal(saved, preds[[2, 0]])
+
+
 def test_evaluate_end_to_end(fake_eval_setup):
     from sfmnext_tpu.evaluation import evaluate
 
