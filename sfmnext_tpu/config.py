@@ -102,6 +102,9 @@ class Options:
     # logging
     log_frequency: int = 10
     save_frequency: int = 1
+    save_step_frequency: int = 0  # checkpoint every N steps (indoor: 1000,
+    # reference trainer_indoor.py:317-328); 0 = per-epoch only
+    log_images: bool = True  # input/warped/disp/automask panels on log steps
 
     # evaluation
     eval_stereo: bool = False
@@ -137,6 +140,11 @@ class Options:
     @property
     def use_pose_net(self) -> bool:
         return not (self.use_stereo and tuple(self.frame_ids) == (0,))
+
+    @property
+    def num_pose_frames(self) -> int:
+        """2 for pairs mode, all temporal frames for 'all' (trainer.py:46)."""
+        return 2 if self.pose_model_input == "pairs" else len(self.frame_ids)
 
     @property
     def img_ext(self) -> str:
@@ -182,6 +190,10 @@ def _build_parser() -> argparse.ArgumentParser:
             p.add_argument(name, type=float, default=default)
         elif isinstance(default, int):
             p.add_argument(name, type=int, default=default)
+        elif "int" in str(f.type):  # Optional[int] fields (default None)
+            p.add_argument(name, type=int, default=default)
+        elif "float" in str(f.type):
+            p.add_argument(name, type=float, default=default)
         else:
             p.add_argument(name, type=str, default=default)
     return p
@@ -201,7 +213,17 @@ def parse_options(argv: Optional[Sequence[str]] = None) -> Options:
         ]
     ns, unknown = _build_parser().parse_known_args(argv)
     if unknown:
-        print(f"[config] ignoring unknown flags: {unknown}")
+        # fail loudly like the reference's argparse: a typo'd flag must not
+        # silently train with defaults. --ignore_unknown is the escape hatch.
+        if "--ignore_unknown" in unknown:
+            unknown = [u for u in unknown if u != "--ignore_unknown"]
+            if unknown:
+                print(f"[config] ignoring unknown flags: {unknown}")
+        else:
+            raise SystemExit(
+                f"error: unrecognized arguments: {' '.join(map(str, unknown))} "
+                "(pass --ignore_unknown to proceed anyway)"
+            )
     kw = vars(ns)
     for key in ("dec_channels", "scales", "frame_ids", "models_to_load"):
         kw[key] = tuple(kw[key])

@@ -73,6 +73,17 @@ class PrefetchLoader:
         index_lock = threading.Lock()
 
         n_batches = len(self) if not self.infinite else None
+
+        def put_checked(q, obj) -> bool:
+            """put() that never blocks shutdown: polls the stop flag."""
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         # ordered slots keep batch composition deterministic enough for
         # testing while letting workers run ahead
         def worker():
@@ -82,32 +93,41 @@ class PrefetchLoader:
                         i = next(index_iter)
                     except StopIteration:
                         break
-                try:
-                    item_q.put(self.dataset[i], timeout=10)
-                except queue.Full:
-                    if stop.is_set():
-                        break
-                    item_q.put(self.dataset[i])
-
-        def collator():
-            produced = 0
-            while n_batches is None or produced < n_batches:
-                items = []
-                try:
-                    for _ in range(self.batch_size):
-                        items.append(item_q.get(timeout=60))
-                except queue.Empty:
-                    if items and not self.drop_last:
-                        batch_q.put(_collate(items))
+                if not put_checked(item_q, self.dataset[i]):
                     break
-                batch_q.put(_collate(items))
-                produced += 1
-            batch_q.put(None)  # sentinel
 
         workers = [
             threading.Thread(target=worker, daemon=True)
             for _ in range(self.num_workers)
         ]
+
+        def collator():
+            produced = 0
+            while n_batches is None or produced < n_batches:
+                items = []
+                while len(items) < self.batch_size:
+                    try:
+                        items.append(item_q.get(timeout=5))
+                    except queue.Empty:
+                        if stop.is_set():
+                            return
+                        if (
+                            not any(w.is_alive() for w in workers)
+                            and item_q.empty()
+                        ):
+                            # true end of data (finite epoch exhausted)
+                            if items and not self.drop_last:
+                                put_checked(batch_q, _collate(items))
+                            put_checked(batch_q, None)
+                            return
+                        # slow storage: keep waiting — never silently
+                        # truncate the epoch
+                        continue
+                if not put_checked(batch_q, _collate(items)):
+                    return
+                produced += 1
+            put_checked(batch_q, None)  # sentinel
+
         col = threading.Thread(target=collator, daemon=True)
         for w in workers:
             w.start()

@@ -81,6 +81,15 @@ class DepthDataset:
                 image = image.crop((left, top, left + 1216, top + 352))
                 depth = depth.crop((left, top, left + 1216, top + 352))
 
+        if self.dataset == "nyu" and self.mode == "train":
+            # margin crop avoiding blank pixel-registration borders, then
+            # force the input size (reference dataloader.py:109-112)
+            w, h = image.size
+            if w >= 608 and h >= 472:
+                image = image.crop((43, 45, 608, 472))
+                depth = depth.crop((43, 45, 608, 472))
+            image = image.resize((self.w, self.h), Image.Resampling.BILINEAR)
+
         if self.mode == "train":
             if self.degree > 0:
                 angle = self.rng.uniform(-self.degree, self.degree)
@@ -90,7 +99,11 @@ class DepthDataset:
             dep = np.asarray(depth, np.float32)
             dep = dep / (256.0 if self.dataset == "kitti" else 1000.0)
 
-            img, dep = self._random_crop(img, dep)
+            if self.dataset != "nyu":
+                img, dep = self._random_crop(img, dep)
+            # NYU: image was force-resized to input size while depth stays
+            # at the 565x427 margin crop (reference dataloader.py:110-112;
+            # its random_crop is commented out, :128) — shapes already fixed
             if self.rng.random() > 0.5:
                 img, dep = img[:, ::-1].copy(), dep[:, ::-1].copy()
             if self.rng.random() > 0.5:

@@ -15,3 +15,4 @@ from sfmnext_tpu.models.sql_decoder import SQLDecoder  # noqa: F401
 from sfmnext_tpu.models.pose_cnn import PoseCNN  # noqa: F401
 from sfmnext_tpu.models.pose_decoder import PoseDecoder  # noqa: F401
 from sfmnext_tpu.models.rectify import RectifyNet  # noqa: F401
+from sfmnext_tpu.models.predictive_mask import PredictiveMask  # noqa: F401

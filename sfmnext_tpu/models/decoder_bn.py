@@ -79,15 +79,17 @@ class ResnetEncoderDecoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_pyramid: bool = False):
         feats = ResNetEncoder(
             num_layers=self.num_layers, train=self.train, dtype=self.dtype,
             name="encoder",
         )(x)
-        return DecoderBN(
+        out = DecoderBN(
             self.num_features, self.model_dim, self.train, self.dtype,
             name="decoder",
         )(feats)
+        # pyramid consumers: PredictiveMask (trainer.py:290-291)
+        return (out, feats) if return_pyramid else out
 
 
 class LiteResnetEncoderDecoder(nn.Module):
@@ -98,10 +100,11 @@ class LiteResnetEncoderDecoder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_pyramid: bool = False):
         feats = ResNetEncoder(
             num_layers=18, train=self.train, dtype=self.dtype, name="encoder"
         )(x)
-        return DecoderBN(
+        out = DecoderBN(
             256, self.model_dim, self.train, self.dtype, name="decoder"
         )(feats)
+        return (out, feats) if return_pyramid else out

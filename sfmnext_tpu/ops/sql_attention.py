@@ -12,11 +12,10 @@ TPU-first design:
   * NHWC layout: features come in as [B,H,W,E]; the pixel axis (H*W, up to
     81,920 at 320x1024) is the "sequence". Both contractions are MXU
     matmuls.
-  * ``sql_full_query`` is the XLA reference implementation. XLA already
-    fuses the softmax with the surrounding matmuls reasonably well; a fused
-    Pallas kernel (one HBM pass over the feature map for energy + online
-    softmax + summary) lives in :mod:`sfmnext_tpu.ops.pallas.sql_kernel`
-    and is selected via ``use_pallas=True`` once benchmarked.
+  * ``sql_full_query`` is XLA-only by measurement: the whole SQL decoder is
+    ~4 ms of a ~170 ms step at 320x1024 bs16 (PROGRESS.md step-time
+    decomposition), so a fused Pallas kernel here has <3% headroom and is
+    deliberately not built. Revisit if the decoder's share ever grows.
 """
 
 from __future__ import annotations

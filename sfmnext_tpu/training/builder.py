@@ -35,6 +35,7 @@ class ModelBundle:
     rectify: Optional[Any]
     train: bool
     pose_encoder: Optional[Any] = None  # separate_resnet pose path
+    predictive_mask: Optional[Any] = None  # --predictive_mask ablation
 
 
 def compute_dtype(opt: Options):
@@ -96,17 +97,51 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
     pose = None
     pose_encoder = None
     if opt.use_pose_net:
+        n_pose = opt.num_pose_frames
         if opt.pose_model_type == "separate_resnet":
-            # ResNet-18 over the stacked pair + PoseDecoder
+            # ResNet-18 over the stacked frames + PoseDecoder
             # (reference trainer option, options.py:258-263)
             pose_encoder = ResNetEncoder(
-                num_layers=18, num_input_images=2, train=train, dtype=dtype
+                num_layers=18, num_input_images=n_pose, train=train, dtype=dtype
             )
-            pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2)
+            pose = PoseDecoder(
+                num_input_features=1,
+                num_frames_to_predict_for=2 if n_pose == 2 else n_pose - 1,
+            )
+        elif opt.pose_model_type == "shared":
+            # Depth encoder shared with pose (monodepth-v1 style): the
+            # PoseDecoder consumes per-frame depth-encoder feature maps
+            # (reference trainer.py:272-282, 311-313; the reference's own
+            # shared path is vestigial — its SQL encoder returns a single
+            # tensor where list-of-features is expected — so this is the
+            # intended monodepth2 semantic, implemented to actually run).
+            pose = PoseDecoder(num_input_features=n_pose)
         else:  # posecnn (default)
-            pose = PoseCNN(num_input_frames=2, dtype=dtype)
+            pose = PoseCNN(num_input_frames=n_pose, dtype=dtype)
     rectify = RectifyNet(train=train) if opt.use_rectify_net else None
-    return ModelBundle(encoder, depth, pose, rectify, train, pose_encoder)
+
+    pmask = None
+    if opt.predictive_mask:
+        # Zhou-et-al. explainability mask over the ResNet pyramid
+        # (reference trainer.py:116-126 constructs, :290-291 applies; its
+        # own application is broken for SQL encoders — we wire it live for
+        # the resnet backbones, one mask channel per source frame).
+        assert opt.disable_automasking, (
+            "When using predictive_mask, please disable automasking with "
+            "--disable_automasking"
+        )
+        assert backbone in ("resnet", "resnet_lite", "resnet18_lite"), (
+            "--predictive_mask needs a ResNet pyramid backbone"
+        )
+        from sfmnext_tpu.models import PredictiveMask
+
+        pmask = PredictiveMask(
+            num_output_channels=len(opt.all_frame_ids) - 1,
+            scales=tuple(opt.scales),
+        )
+    return ModelBundle(
+        encoder, depth, pose, rectify, train, pose_encoder, pmask
+    )
 
 
 def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
@@ -128,22 +163,26 @@ def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
     }
 
     if models.pose is not None:
+        n_pose = opt.num_pose_frames
         if models.pose_encoder is not None:
-            pe_vars = models.pose_encoder.init(
-                k_pose, jnp.zeros((1, h, w, 6), jnp.float32)
-            )
+            x_pose = jnp.zeros((1, h, w, 3 * n_pose), jnp.float32)
+            pe_vars = models.pose_encoder.init(k_pose, x_pose)
             params["pose_encoder"] = pe_vars["params"]
             batch_stats["pose_encoder"] = pe_vars.get("batch_stats", {})
             feats, _ = models.pose_encoder.apply(
                 {"params": pe_vars["params"],
                  "batch_stats": pe_vars.get("batch_stats", {})},
-                jnp.zeros((1, h, w, 6), jnp.float32),
+                x_pose,
                 mutable=["batch_stats"],
             )
             pose_vars = models.pose.init(k_pose, [feats])
+        elif opt.pose_model_type == "shared":
+            # per-frame depth-encoder feature maps [B,H/2,W/2,model_dim]
+            f = jnp.zeros((1, h // 2, w // 2, opt.model_dim), jnp.float32)
+            pose_vars = models.pose.init(k_pose, [[f]] * n_pose)
         else:
             pose_vars = models.pose.init(
-                k_pose, jnp.zeros((1, h, w, 6), jnp.float32)
+                k_pose, jnp.zeros((1, h, w, 3 * n_pose), jnp.float32)
             )
         params["pose"] = pose_vars["params"]
         batch_stats["pose"] = pose_vars.get("batch_stats", {})
@@ -152,6 +191,18 @@ def init_params(opt: Options, models: ModelBundle, rng) -> Dict[str, Any]:
         rec_vars = models.rectify.init(k_rec, img, img)
         params["rectify"] = rec_vars["params"]
         batch_stats["rectify"] = rec_vars.get("batch_stats", {})
+    if models.predictive_mask is not None:
+        from sfmnext_tpu.models.resnet import ResNetEncoder
+
+        n_layers = 18 if opt.backbone == "resnet18_lite" else opt.num_layers
+        chans = ResNetEncoder.feature_channels(n_layers)
+        pyramid = [
+            jnp.zeros((1, h // s, w // s, c), jnp.float32)
+            for s, c in zip((2, 4, 8, 16, 32), chans)
+        ]
+        pm_vars = models.predictive_mask.init(k_rec, pyramid)
+        params["predictive_mask"] = pm_vars["params"]
+        batch_stats["predictive_mask"] = pm_vars.get("batch_stats", {})
     return {"params": params, "batch_stats": batch_stats}
 
 

@@ -130,10 +130,10 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
     target = batch["color"][:, 0]
     warped_colors, pred_deps, com_deps = [], [], []
     for i, f_i in enumerate(frame_ids[1:]):
-        aa, t = poses[f_i]
+        aa, t, inv = poses[f_i]
         if opt.pose_model_type == "posecnn" and not opt.use_stereo:
             t = t * mean_inv_depth[:, None]
-        T = geometry.transformation_from_parameters(aa, t, invert=(f_i < 0))
+        T = geometry.transformation_from_parameters(aa, t, invert=inv)
 
         cam_points = geometry.backproject_depth(depth, inv_K)
         pix = geometry.project_3d(cam_points, K, T, h, w)

@@ -44,37 +44,94 @@ def _apply(model, params, batch_stats, *args, train: bool, rng=None):
 
 
 def predict_poses(
-    models: ModelBundle, params, batch, frame_ids, batch_stats=None
+    models: ModelBundle,
+    params,
+    batch,
+    frame_ids,
+    batch_stats=None,
+    opt: Options | None = None,
+    shared_feats: Dict[Any, jnp.ndarray] | None = None,
 ) -> Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Pose nets on temporally-ordered frame pairs (trainer.py:306-337).
+    """Pose nets over frames (trainer.py:301-361).
 
-    posecnn (default): raw pair through PoseCNN. separate_resnet: pair
-    through a 2-image ResNet-18 + PoseDecoder (trainer.py:324-325).
-    Returns {frame_id: (axisangle [B,3], translation [B,3])}.
+    pairs mode (default): one forward per temporally-ordered source pair.
+      posecnn: raw pair through PoseCNN; separate_resnet: pair through a
+      2-image ResNet-18 + PoseDecoder (:324-325); shared: the target/source
+      depth-encoder feature maps through PoseDecoder (:311-313).
+    'all' mode: a single forward over every temporal frame predicting all
+      poses at once (:339-360; note the reference applies no inversion for
+      past frames in this mode — kept).
+    Returns {frame_id: (axisangle [B,3], translation [B,3], invert flag)}.
     """
+    pairs_mode = opt is None or opt.num_pose_frames == 2
+    pose_type = opt.pose_model_type if opt is not None else (
+        "separate_resnet" if models.pose_encoder is not None else "posecnn"
+    )
     out = {}
     color_aug = batch["color_aug"]  # [B,F,H,W,3]
-    for idx, f_i in enumerate(frame_ids[1:], start=1):
-        if f_i == "s":
-            continue
-        if f_i < 0:
-            pair = jnp.concatenate([color_aug[:, idx], color_aug[:, 0]], axis=-1)
-        else:
-            pair = jnp.concatenate([color_aug[:, 0], color_aug[:, idx]], axis=-1)
-        if models.pose_encoder is not None:
-            feats, pe_stats = _apply(
-                models.pose_encoder,
-                params["pose_encoder"],
-                (batch_stats or {}).get("pose_encoder"),
-                pair,
-                train=models.train,
+    temporal = [f_i for f_i in frame_ids if f_i != "s"]
+
+    def run_pose_encoder(stacked):
+        feats, pe_stats = _apply(
+            models.pose_encoder,
+            params["pose_encoder"],
+            (batch_stats or {}).get("pose_encoder"),
+            stacked,
+            train=models.train,
+        )
+        if batch_stats is not None:
+            batch_stats["pose_encoder"] = pe_stats
+        return feats
+
+    if pairs_mode:
+        for idx, f_i in enumerate(frame_ids[1:], start=1):
+            if f_i == "s":
+                continue
+            if pose_type == "shared":
+                a, b = (
+                    (shared_feats[f_i], shared_feats[0])
+                    if f_i < 0
+                    else (shared_feats[0], shared_feats[f_i])
+                )
+                aa, t = models.pose.apply(
+                    {"params": params["pose"]}, [[a], [b]]
+                )
+            else:
+                if f_i < 0:
+                    pair = jnp.concatenate(
+                        [color_aug[:, idx], color_aug[:, 0]], axis=-1
+                    )
+                else:
+                    pair = jnp.concatenate(
+                        [color_aug[:, 0], color_aug[:, idx]], axis=-1
+                    )
+                if models.pose_encoder is not None:
+                    aa, t = models.pose.apply(
+                        {"params": params["pose"]}, [run_pose_encoder(pair)]
+                    )
+                else:
+                    aa, t = models.pose.apply({"params": params["pose"]}, pair)
+            out[f_i] = (aa[:, 0, 0], t[:, 0, 0], f_i < 0)
+    else:
+        # all-frames mode: one prediction per source frame from one forward
+        if pose_type == "shared":
+            aa, t = models.pose.apply(
+                {"params": params["pose"]},
+                [[shared_feats[i]] for i in temporal],
             )
-            if batch_stats is not None:
-                batch_stats["pose_encoder"] = pe_stats
-            aa, t = models.pose.apply({"params": params["pose"]}, [feats])
         else:
-            aa, t = models.pose.apply({"params": params["pose"]}, pair)
-        out[f_i] = (aa[:, 0, 0], t[:, 0, 0])
+            stacked = jnp.concatenate(
+                [color_aug[:, frame_ids.index(i)] for i in temporal], axis=-1
+            )
+            if models.pose_encoder is not None:
+                aa, t = models.pose.apply(
+                    {"params": params["pose"]}, [run_pose_encoder(stacked)]
+                )
+            else:
+                aa, t = models.pose.apply({"params": params["pose"]}, stacked)
+        for i, f_i in enumerate(temporal[1:]):
+            # reference quirk: no invert for past frames here (:355-360)
+            out[f_i] = (aa[:, i, 0], t[:, i, 0], False)
     return out
 
 
@@ -108,7 +165,30 @@ def forward(
         # trade encoder activation memory for recompute (enables bs32 on
         # a 16G v5e at 320x1024)
         encoder_fwd = jax.checkpoint(encoder_fwd)
-    feats, bs_enc = encoder_fwd(params["encoder"], batch["color_aug"][:, 0])
+
+    need_pyramid = models.predictive_mask is not None
+
+    shared_feats = None
+    if opt.pose_model_type == "shared" and models.pose is not None:
+        assert not need_pyramid, "predictive_mask + shared pose unsupported"
+        # shared depth/pose trunk: every temporal frame through the depth
+        # encoder in ONE batched apply (reference trainer.py:272-282 does a
+        # batch-concat too; on TPU this keeps the convs large on the MXU)
+        temporal = [i for i in frame_ids if i != "s"]
+        stacked = jnp.concatenate(
+            [batch["color_aug"][:, frame_ids.index(i)] for i in temporal], 0
+        )
+        all_feats, bs_enc = encoder_fwd(params["encoder"], stacked)
+        per_frame = jnp.split(all_feats, len(temporal), axis=0)
+        shared_feats = dict(zip(temporal, per_frame))
+        feats = shared_feats[0]
+    elif need_pyramid:
+        (feats, pyramid), bs_enc = _apply(
+            models.encoder, params["encoder"], batch_stats.get("encoder"),
+            batch["color_aug"][:, 0], True, train=train,
+        )
+    else:
+        feats, bs_enc = encoder_fwd(params["encoder"], batch["color_aug"][:, 0])
     dec_out, bs_dep = _apply(
         models.depth,
         params["depth"],
@@ -131,7 +211,10 @@ def forward(
     # 2. poses (predict_poses updates pose_encoder BN stats in-place on
     # the dict we hand it)
     poses = (
-        predict_poses(models, params, batch, frame_ids, new_batch_stats)
+        predict_poses(
+            models, params, batch, frame_ids, new_batch_stats,
+            opt=opt, shared_feats=shared_feats,
+        )
         if models.pose is not None
         else {}
     )
@@ -149,10 +232,10 @@ def forward(
         if f_i == "s":
             T = batch["stereo_T"]
         else:
-            aa, t = poses[f_i]
+            aa, t, inv = poses[f_i]
             if opt.pose_model_type == "posecnn" and not opt.use_stereo:
                 t = t * mean_inv_depth[:, None]
-            T = geometry.transformation_from_parameters(aa, t, invert=(f_i < 0))
+            T = geometry.transformation_from_parameters(aa, t, invert=inv)
 
         src = batch["color"][:, idx]
         # Pallas banded warp on the training path (device=TPU, shapes
@@ -181,6 +264,20 @@ def forward(
                 )
             )
 
+    # 3b. predictive mask ablation: per-source sigmoid mask weights the
+    # reprojection losses + 0.2*BCE(mask, 1) keep-alive (trainer.py:495-507)
+    mask_weight_loss = 0.0
+    if need_pyramid:
+        pm_out = models.predictive_mask.apply(
+            {"params": params["predictive_mask"]}, pyramid
+        )
+        pmask = pm_out[("disp", 0)]  # [B,H,W,n_sources], full res at scale 0
+        outputs["predictive_mask"] = pmask
+        reproj = [r * pmask[..., i : i + 1] for i, r in enumerate(reproj)]
+        mask_weight_loss = 0.2 * (
+            -jnp.log(jnp.clip(pmask, 1e-7, 1.0))
+        ).mean()
+
     # 4. combine (min over frames, automask)
     to_optimise, automask = L.min_reprojection_loss(
         reproj,
@@ -197,7 +294,7 @@ def forward(
     mean_d = depth.mean(axis=(1, 2, 3), keepdims=True)
     norm_d = depth / (mean_d + 1e-7)
     smooth = L.edge_aware_smoothness(norm_d, target)
-    total = loss + opt.disparity_smoothness * smooth
+    total = loss + opt.disparity_smoothness * smooth + mask_weight_loss
 
     metrics = {
         "loss": total,

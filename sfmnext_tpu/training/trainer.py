@@ -230,6 +230,13 @@ class Trainer:
                 self.writers["train"].scalars(self.step, vals)
                 self.val()
             self.step += 1
+            # step-periodic checkpointing (reference trainer_indoor.py:317,
+            # 327-328 saves every 1000 steps; 0 disables)
+            if (
+                self.opt.save_step_frequency
+                and self.step % self.opt.save_step_frequency == 0
+            ):
+                self.save_model(tag=f"step_{self.step}")
 
     def val(self):
         if self.val_iter is None:
@@ -254,6 +261,38 @@ class Trainer:
                 }
             )
         self.writers["val"].scalars(self.step, vals)
+        if self.opt.log_images:
+            self._log_images("val", batch, outputs)
+
+    def _log_images(self, mode, batch, outputs, max_n: int = 2):
+        """Visual-debug panels: input / warped / disp / automask
+        (reference trainer.py:593-625), downsampled 2x for IO."""
+
+        def ds(a):  # device->host + 2x downsample
+            return np.asarray(a)[::2, ::2]
+
+        panels = {}
+        color = batch["color"]  # [B,F,H,W,3]
+        n = min(max_n, int(color.shape[0]))
+        for j in range(n):
+            for idx, f_i in enumerate(self.opt.all_frame_ids):
+                panels[f"color_{f_i}_0/{j}"] = ds(color[j, idx])
+                key = f"warped_{f_i}"
+                if f_i != 0 and key in outputs:
+                    panels[f"color_pred_{f_i}_0/{j}"] = ds(outputs[key][j])
+            depth = np.asarray(outputs["depth"][j, ..., 0])
+            disp = 1.0 / np.maximum(depth, 1e-6)
+            disp = (disp - disp.min()) / (disp.max() - disp.min() + 1e-7)
+            panels[f"disp_0/{j}"] = disp[::2, ::2]
+            if "automask" in outputs:
+                panels[f"automask_0/{j}"] = ds(outputs["automask"][j])
+            if "predictive_mask" in outputs:
+                pm = np.asarray(outputs["predictive_mask"][j])
+                for f_idx in range(pm.shape[-1]):
+                    panels[f"predictive_mask_{f_idx}_0/{j}"] = (
+                        pm[::2, ::2, f_idx]
+                    )
+        self.writers[mode].images(self.step, panels)
 
     def _device_batch(self, batch, augment_eval=False):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -262,9 +301,9 @@ class Trainer:
         return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------ checkpoints
-    def save_model(self):
+    def save_model(self, tag: Optional[str] = None):
         folder = os.path.join(
-            self.log_path, "models", f"weights_{self.epoch}"
+            self.log_path, "models", f"weights_{tag or self.epoch}"
         )
         ckpt.save_checkpoint(folder, self.state, self.opt)
         print(f"-> saved checkpoint {folder}", flush=True)

@@ -52,14 +52,28 @@ class MetricWriter:
                 self.tb.add_scalar(k, float(v), step)
 
     def images(self, step: int, images: Dict[str, np.ndarray], max_n: int = 4):
-        """images: name -> [H,W,C] float in [0,1]."""
-        if self.tb is None:
-            return
+        """images: name -> [H,W,C] float in [0,1].
+
+        TB when available; png files under <dir>/images otherwise, so the
+        reference's visual-debug panels (trainer.py:593-625) always exist.
+        """
         for name, img in images.items():
-            arr = np.asarray(img)
-            if arr.ndim == 3 and arr.shape[-1] in (1, 3):
-                arr = np.transpose(arr, (2, 0, 1))
-            self.tb.add_image(name, np.clip(arr, 0, 1), step)
+            arr = np.clip(np.asarray(img, np.float32), 0, 1)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            if self.tb is not None:
+                self.tb.add_image(name, np.transpose(arr, (2, 0, 1)), step)
+            else:
+                from PIL import Image
+
+                img_dir = os.path.join(self.dir, "images")
+                os.makedirs(img_dir, exist_ok=True)
+                if arr.shape[-1] == 1:
+                    arr = np.repeat(arr, 3, axis=-1)
+                fname = f"step{step:08d}_{name.replace('/', '_')}.png"
+                Image.fromarray((arr * 255).astype(np.uint8)).save(
+                    os.path.join(img_dir, fname)
+                )
 
     def close(self):
         self.jsonl.close()

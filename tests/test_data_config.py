@@ -39,6 +39,16 @@ def test_argfile_parsing(tmp_path):
     assert opt.learning_rate == 1e-4
 
 
+def test_unknown_flag_fails_loudly():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_options(["--learning_rte", "1e-3"])  # typo'd flag
+    # escape hatch
+    opt = parse_options(["--ignore_unknown", "--learning_rte", "1e-3"])
+    assert opt.learning_rate == 1e-4  # untouched default
+
+
 def test_options_validation_token_budget():
     import pytest
 
@@ -118,6 +128,29 @@ def test_prefetch_loader_batches():
     batches = list(loader)
     assert len(batches) == 2  # drop_last
     assert batches[0]["color"].shape == (4, 3, 16, 24, 3)
+
+
+def test_prefetch_loader_slow_item_does_not_truncate_epoch():
+    """A single item slower than the collator's poll interval must not end
+    the epoch early (round-1 weakness: 60s timeout -> silent break)."""
+    import time
+
+    class SlowDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                time.sleep(6.5)  # longer than the 5s poll timeout
+            return {"x": np.full((2,), i, np.float32)}
+
+    loader = PrefetchLoader(
+        SlowDS(), batch_size=2, num_workers=1, shuffle=False, seed=0
+    )
+    batches = list(loader)
+    assert len(batches) == 4  # full epoch despite the stall
+    got = sorted(int(v) for b in batches for v in b["x"][:, 0])
+    assert got == list(range(8))
 
 
 def test_checkpoint_roundtrip(tmp_path):

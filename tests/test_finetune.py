@@ -104,6 +104,37 @@ def test_torch_export_roundtrip():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+def test_nyu_margin_crop(tmp_path):
+    """NYU train items: image margin-cropped (43,45,608,472) then resized to
+    input size; depth stays at the 565x427 crop (reference
+    finetune/dataloader.py:109-112)."""
+    import numpy as np
+    from PIL import Image
+
+    from sfmnext_tpu.finetune.dataloader import DepthDataset
+
+    (tmp_path / "img").mkdir()
+    (tmp_path / "gt").mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (480, 640, 3), np.uint8)).save(
+        tmp_path / "img" / "a.png"
+    )
+    Image.fromarray(
+        (rng.rand(480, 640) * 5000).astype(np.uint16)
+    ).save(tmp_path / "gt" / "a.png")
+    (tmp_path / "files.txt").write_text("a.png a.png 518.8579\n")
+
+    ds = DepthDataset(
+        str(tmp_path / "img"), str(tmp_path / "gt"),
+        str(tmp_path / "files.txt"), mode="train", dataset="nyu",
+        input_height=416, input_width=544, do_kb_crop=False, degree=0,
+    )
+    item = ds[0]
+    assert item["image"].shape == (416, 544, 3)
+    assert item["depth"].shape == (427, 565, 1)  # 472-45, 608-43
+    assert item["depth"].max() <= 65535 / 1000.0
+
+
 def test_onecycle_no_nan_for_tiny_total_steps():
     """optax cosine_onecycle NaNs on zero-length segments; we clamp."""
     sched = onecycle_schedule(1e-3, 2)

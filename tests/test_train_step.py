@@ -141,14 +141,52 @@ def test_gradient_accumulation(setup):
     assert not np.allclose(p1, p2)
 
 
-def test_separate_resnet_pose_path():
-    opt = tiny_options(pose_model_type="separate_resnet")
+def test_predictive_mask_path():
+    """--predictive_mask constructs + trains the mask decoder and weights
+    the reprojection loss (reference trainer.py:116-126, 290-291, 495-507)."""
+    opt = tiny_options(predictive_mask=True, disable_automasking=True)
     models = build_models(opt, train=True)
+    assert models.predictive_mask is not None
     variables = init_params(opt, models, jax.random.PRNGKey(0))
-    assert "pose_encoder" in variables["params"]
+    assert "predictive_mask" in variables["params"]
     tx = make_optimizer(opt, 2)
     state = TrainState.create(variables, tx)
     step_fn = make_train_step(opt, models, tx, donate=False)
     batch = jax.tree_util.tree_map(jnp.asarray, make_batch(2, 64, 96))
-    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+    # mask decoder receives gradient through the weighted loss
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(state.params["predictive_mask"])[0]
+    )
+    p1 = np.asarray(
+        jax.tree_util.tree_leaves(new_state.params["predictive_mask"])[0]
+    )
+    assert not np.allclose(p0, p1)
+
+
+def test_predictive_mask_requires_no_automask():
+    with pytest.raises(AssertionError):
+        build_models(tiny_options(predictive_mask=True), train=True)
+
+
+@pytest.mark.parametrize("pose_type", ["posecnn", "separate_resnet", "shared"])
+@pytest.mark.parametrize("pose_input", ["pairs", "all"])
+def test_pose_model_variants(pose_type, pose_input):
+    """All reference pose_model_type x pose_model_input combos train
+    (trainer.py:301-361; options.py pose choices)."""
+    opt = tiny_options(pose_model_type=pose_type, pose_model_input=pose_input)
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    if pose_type == "separate_resnet":
+        assert "pose_encoder" in variables["params"]
+    tx = make_optimizer(opt, 2)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(opt, models, tx, donate=False)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(2, 64, 96))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # pose params receive gradient
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params["pose"])[0])
+    p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params["pose"])[0])
+    assert not np.allclose(p0, p1)

@@ -38,7 +38,7 @@ def tiny_opt(tmp_path, **kw):
 
 
 def test_trainer_end_to_end(tmp_path):
-    opt = tiny_opt(tmp_path)
+    opt = tiny_opt(tmp_path, save_step_frequency=2)
     tr = Trainer(
         opt,
         train_loader=SynthLoader(2, 4, 64, 96),
@@ -49,6 +49,21 @@ def test_trainer_end_to_end(tmp_path):
     # checkpoints for epoch 0 written (initial + post-epoch overwrite)
     ckpts = glob.glob(os.path.join(str(tmp_path), "smoke", "models", "weights_*"))
     assert any(os.path.isdir(c) for c in ckpts)
+
+    # step-periodic checkpoint (reference trainer_indoor.py:317-328)
+    assert os.path.isdir(
+        os.path.join(str(tmp_path), "smoke", "models", "weights_step_2")
+    )
+
+    # visual-debug panels (trainer.py:593-625): TB events or png fallback
+    val_dir = os.path.join(str(tmp_path), "smoke", "val")
+    has_tb = glob.glob(os.path.join(val_dir, "events.out.tfevents.*"))
+    pngs = glob.glob(os.path.join(val_dir, "images", "*.png"))
+    assert has_tb or pngs, "no image panels written"
+    if pngs:
+        names = " ".join(pngs)
+        for key in ("color_0_0", "color_pred", "disp_0", "automask_0"):
+            assert key in names, f"missing {key} panel in {names}"
 
     # metrics jsonl has train + val records with finite loss + depth metrics
     for mode in ("train", "val"):
