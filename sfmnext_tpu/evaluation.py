@@ -68,7 +68,7 @@ def load_eval_variables(opt: Options):
         from sfmnext_tpu.utils import torch_port as tp
 
         sd = tp.load_state_dict(enc_pth)
-        p, s = tp.convert_resnet_encoder_decoder(sd, opt.num_layers)
+        p, s = tp.convert_encoder_pth(sd, opt)
         variables["params"]["encoder"] = p
         variables["batch_stats"]["encoder"] = s
         dep = os.path.join(folder, "depth.pth")

@@ -176,7 +176,7 @@ class Trainer:
             from sfmnext_tpu.utils import torch_port as tp
 
             sd = tp.load_state_dict(enc_pth)
-            p, s = tp.convert_resnet_encoder_decoder(sd, self.opt.num_layers)
+            p, s = tp.convert_encoder_pth(sd, self.opt)
             variables["params"]["encoder"] = p
             variables["batch_stats"]["encoder"] = s
             dep_pth = os.path.join(folder, "depth.pth")

@@ -83,6 +83,113 @@ def export_resnet_encoder_decoder(params, batch_stats) -> Dict[str, np.ndarray]:
     return sd
 
 
+def _put_conv(sd, dst, node):
+    sd[dst + ".weight"] = _conv_w(node["kernel"])
+    if "bias" in node:
+        sd[dst + ".bias"] = np.asarray(node["bias"])
+
+
+def _put_bn(sd, dst, pnode, snode):
+    sd[dst + ".weight"] = np.asarray(pnode["scale"])
+    sd[dst + ".bias"] = np.asarray(pnode["bias"])
+    sd[dst + ".running_mean"] = np.asarray(snode["mean"])
+    sd[dst + ".running_var"] = np.asarray(snode["var"])
+
+
+def _put_ln(sd, dst, node):
+    sd[dst + ".weight"] = np.asarray(node["scale"])
+    sd[dst + ".bias"] = np.asarray(node["bias"])
+
+
+def export_efficientnet_b5(params, batch_stats,
+                           prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of torch_port.convert_efficientnet_b5 (gen-efficientnet keys)."""
+    from sfmnext_tpu.models.efficientnet import B5_STAGES as cfg
+
+    sd: Dict[str, np.ndarray] = {}
+    _put_conv(sd, prefix + "conv_stem", params["conv_stem"])
+    _put_bn(sd, prefix + "bn1", params["bn1"]["BatchNorm_0"],
+            batch_stats["bn1"]["BatchNorm_0"])
+    for si in range(7):
+        expand = cfg["expand"][si]
+        for bi in range(cfg["repeats"][si]):
+            p = params[f"stage{si}_block{bi}"]
+            s = batch_stats[f"stage{si}_block{bi}"]
+            dst = f"{prefix}blocks.{si}.{bi}"
+            if expand == 1:
+                names = [("conv_dw", "dw_conv", "bn1", "dw_bn"),
+                         ("conv_pw", "project_conv", "bn2", "project_bn")]
+            else:
+                names = [("conv_pw", "expand_conv", "bn1", "expand_bn"),
+                         ("conv_dw", "dw_conv", "bn2", "dw_bn"),
+                         ("conv_pwl", "project_conv", "bn3", "project_bn")]
+            for t_conv, f_conv, t_bn, f_bn in names:
+                _put_conv(sd, f"{dst}.{t_conv}", p[f_conv])
+                _put_bn(sd, f"{dst}.{t_bn}", p[f_bn]["BatchNorm_0"],
+                        s[f_bn]["BatchNorm_0"])
+            _put_conv(sd, f"{dst}.se.conv_reduce", p["se_reduce"])
+            _put_conv(sd, f"{dst}.se.conv_expand", p["se_expand"])
+    _put_conv(sd, prefix + "conv_head", params["conv_head"])
+    return sd
+
+
+def export_base_encoder_decoder(params, batch_stats) -> Dict[str, np.ndarray]:
+    """Inverse of torch_port.convert_base_encoder_decoder (eff_b5 encoder.pth)."""
+    sd = export_efficientnet_b5(
+        params["encoder"], batch_stats["encoder"],
+        prefix="encoder.original_model.",
+    )
+    dec_p, dec_s = params["decoder"], batch_stats["decoder"]
+    _put_conv(sd, "decoder.conv2", dec_p["conv2"]["Conv_0"])
+    _put_conv(sd, "decoder.conv3", dec_p["conv3"]["Conv_0"])
+    for u in range(1, 5):
+        up_p, up_s = dec_p[f"up{u}"], dec_s[f"up{u}"]
+        _put_conv(sd, f"decoder.up{u}._net.0", up_p["conv_a"]["Conv_0"])
+        _put_bn(sd, f"decoder.up{u}._net.1", up_p["bn_a"]["BatchNorm_0"],
+                up_s["bn_a"]["BatchNorm_0"])
+        _put_conv(sd, f"decoder.up{u}._net.3", up_p["conv_b"]["Conv_0"])
+        _put_bn(sd, f"decoder.up{u}._net.4", up_p["bn_b"]["BatchNorm_0"],
+                up_s["bn_b"]["BatchNorm_0"])
+    return sd
+
+
+def export_convnext_unet(params, batch_stats, backbone: str) -> Dict[str, np.ndarray]:
+    """Inverse of torch_port.convert_convnext_unet (timm convnext + UnetDecoder)."""
+    from sfmnext_tpu.models.convnext import convnext_cfg
+
+    depths, _ = convnext_cfg(backbone)
+    sd: Dict[str, np.ndarray] = {}
+    enc = params["encoder"]
+    _put_conv(sd, "encoder.stem.0", enc["stem_conv"])
+    _put_ln(sd, "encoder.stem.1", enc["stem_norm"])
+    for si, depth in enumerate(depths):
+        if si > 0:
+            _put_ln(sd, f"encoder.stages.{si}.downsample.0",
+                    enc[f"down{si}_norm"])
+            _put_conv(sd, f"encoder.stages.{si}.downsample.1",
+                      enc[f"down{si}_conv"])
+        for bi in range(depth):
+            blk = enc[f"stage{si}_block{bi}"]
+            dst = f"encoder.stages.{si}.blocks.{bi}"
+            _put_conv(sd, f"{dst}.dwconv", blk["dwconv"])
+            _put_ln(sd, f"{dst}.norm", blk["norm"])
+            for pw in ("pwconv1", "pwconv2"):
+                sd[f"{dst}.{pw}.weight"] = _lin_w(blk[pw]["kernel"])
+                sd[f"{dst}.{pw}.bias"] = np.asarray(blk[pw]["bias"])
+            sd[f"{dst}.gamma"] = np.asarray(blk["gamma"])
+
+    dec_p, dec_s = params["decoder"], batch_stats["decoder"]
+    for i in range(4):
+        for c in (1, 2):
+            node = dec_p[f"block{i}"][f"conv{c}"]
+            dst = f"decoder.blocks.{i}.conv{c}"
+            _put_conv(sd, f"{dst}.conv", node["conv"])
+            _put_bn(sd, f"{dst}.bn", node["bn"]["BatchNorm_0"],
+                    dec_s[f"block{i}"][f"conv{c}"]["bn"]["BatchNorm_0"])
+    _put_conv(sd, "decoder.final_conv", dec_p["final_conv"])
+    return sd
+
+
 def export_sql_decoder(params, num_heads: int = 4) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
     sd["embedding_convPxP.weight"] = _conv_w(

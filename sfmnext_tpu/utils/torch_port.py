@@ -215,6 +215,209 @@ def convert_sql_decoder(sd: Dict[str, np.ndarray], num_heads: int = 4):
     return params
 
 
+# ------------------------------------------------------------ EfficientNet-B5
+
+
+def convert_efficientnet_b5(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """gen-efficientnet ``tf_efficientnet_b5_ap`` state_dict ->
+    (params, batch_stats) for models.efficientnet.EfficientNetB5.
+
+    Key layout is the torch.hub rwightman/gen-efficientnet-pytorch model the
+    reference loads (networks/base_encoder.py:91-94): conv_stem / bn1 /
+    blocks.{stage}.{block}.* / conv_head, with DepthwiseSeparableConv naming
+    in stage 0 (conv_dw,bn1,se,conv_pw,bn2) and InvertedResidual elsewhere
+    (conv_pw,bn1,conv_dw,bn2,se,conv_pwl,bn3).
+    """
+    from sfmnext_tpu.models.efficientnet import B5_STAGES
+
+    def g(key):
+        return sd[prefix + key]
+
+    params: Dict[str, Any] = {"conv_stem": {"kernel": _conv_w(g("conv_stem.weight"))}}
+    stats: Dict[str, Any] = {}
+    bnp, bns = _bn(sd, prefix + "bn1")
+    params["bn1"] = {"BatchNorm_0": bnp}
+    stats["bn1"] = {"BatchNorm_0": bns}
+
+    for si in range(7):
+        expand = B5_STAGES["expand"][si]
+        for bi in range(B5_STAGES["repeats"][si]):
+            src = f"blocks.{si}.{bi}"
+            dst = f"stage{si}_block{bi}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            if expand == 1:
+                names = [("conv_dw", "dw_conv", "bn1", "dw_bn"),
+                         ("conv_pw", "project_conv", "bn2", "project_bn")]
+            else:
+                names = [("conv_pw", "expand_conv", "bn1", "expand_bn"),
+                         ("conv_dw", "dw_conv", "bn2", "dw_bn"),
+                         ("conv_pwl", "project_conv", "bn3", "project_bn")]
+            for t_conv, f_conv, t_bn, f_bn in names:
+                blk_p[f_conv] = {"kernel": _conv_w(g(f"{src}.{t_conv}.weight"))}
+                bnp, bns = _bn(sd, f"{prefix}{src}.{t_bn}")
+                blk_p[f_bn] = {"BatchNorm_0": bnp}
+                blk_s[f_bn] = {"BatchNorm_0": bns}
+            for t_se, f_se in (
+                ("se.conv_reduce", "se_reduce"),
+                ("se.conv_expand", "se_expand"),
+            ):
+                blk_p[f_se] = {
+                    "kernel": _conv_w(g(f"{src}.{t_se}.weight")),
+                    "bias": np.asarray(g(f"{src}.{t_se}.bias")),
+                }
+            params[dst] = blk_p
+            stats[dst] = blk_s
+
+    params["conv_head"] = {"kernel": _conv_w(g("conv_head.weight"))}
+    return params, stats
+
+
+def convert_base_encoder_decoder(sd: Dict[str, np.ndarray]):
+    """Reference eff_b5 BaseEncoder checkpoint (encoder.pth) -> combined tree
+    for models.efficientnet.BaseEncoderDecoder.
+
+    Reference module paths (base_encoder.py:60-85): encoder.original_model.*
+    for the backbone, decoder.* for the same UpSampleBN decoder the resnet
+    path uses.
+    """
+    enc_p, enc_s = convert_efficientnet_b5(sd, prefix="encoder.original_model.")
+    dec_p, dec_s = convert_decoder_bn(sd, "decoder.")
+    return (
+        {"encoder": enc_p, "decoder": dec_p},
+        {"encoder": enc_s, "decoder": dec_s},
+    )
+
+
+# --------------------------------------------------------------- ConvNeXt/Unet
+
+
+def _normalize_convnext_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Accept the naming variants timm emits for convnext state_dicts:
+    features_only flattening (stages_0 -> stages.0, stem_0 -> stem.0) and
+    mlp.fc1/fc2 vs pwconv1/pwconv2 block MLP names."""
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"\bstages_(\d+)\.", r"stages.\1.", k)
+        k = re.sub(r"\bstem_(\d+)\.", r"stem.\1.", k)
+        k = k.replace(".mlp.fc1.", ".pwconv1.").replace(".mlp.fc2.", ".pwconv2.")
+        k = k.replace(".conv_dw.", ".dwconv.")
+        out[k] = v
+    return out
+
+
+def convert_convnext(sd: Dict[str, np.ndarray], depths, prefix: str = ""):
+    """timm convnext (features_only) state_dict -> params for
+    models.convnext.ConvNeXt (no batch_stats: LayerNorm only)."""
+    sd = {
+        k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+    sd = _normalize_convnext_keys(sd)
+
+    def ln(key):
+        return {
+            "scale": np.asarray(sd[key + ".weight"]),
+            "bias": np.asarray(sd[key + ".bias"]),
+        }
+
+    params: Dict[str, Any] = {
+        "stem_conv": _conv_pb(sd, "stem.0"),
+        "stem_norm": ln("stem.1"),
+    }
+    for si, depth in enumerate(depths):
+        if si > 0:
+            params[f"down{si}_norm"] = ln(f"stages.{si}.downsample.0")
+            params[f"down{si}_conv"] = _conv_pb(sd, f"stages.{si}.downsample.1")
+        for bi in range(depth):
+            src = f"stages.{si}.blocks.{bi}"
+            params[f"stage{si}_block{bi}"] = {
+                "dwconv": _conv_pb(sd, f"{src}.dwconv"),
+                "norm": ln(f"{src}.norm"),
+                "pwconv1": {
+                    "kernel": _lin_w(sd[f"{src}.pwconv1.weight"]),
+                    "bias": np.asarray(sd[f"{src}.pwconv1.bias"]),
+                },
+                "pwconv2": {
+                    "kernel": _lin_w(sd[f"{src}.pwconv2.weight"]),
+                    "bias": np.asarray(sd[f"{src}.pwconv2.bias"]),
+                },
+                "gamma": np.asarray(sd[f"{src}.gamma"]),
+            }
+    return params
+
+
+def convert_unet_decoder(sd: Dict[str, np.ndarray], n_blocks: int = 4,
+                         prefix: str = "decoder."):
+    """Reference UnetDecoder state_dict -> params + batch_stats
+    (networks/Unet.py:258-312: blocks.{i}.conv{1,2}.{conv,bn}, final_conv)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_blocks):
+        blk_p: Dict[str, Any] = {}
+        blk_s: Dict[str, Any] = {}
+        for c in (1, 2):
+            src = f"{prefix}blocks.{i}.conv{c}"
+            bnp, bns = _bn(sd, src + ".bn")
+            blk_p[f"conv{c}"] = {
+                "conv": {"kernel": _conv_w(sd[src + ".conv.weight"])},
+                "bn": {"BatchNorm_0": bnp},
+            }
+            blk_s[f"conv{c}"] = {"bn": {"BatchNorm_0": bns}}
+        params[f"block{i}"] = blk_p
+        stats[f"block{i}"] = blk_s
+    params["final_conv"] = _conv_pb(sd, prefix + "final_conv")
+    return params, stats
+
+
+def convert_convnext_unet(sd: Dict[str, np.ndarray], backbone: str):
+    """Reference Unet(convnext_*) checkpoint (encoder.pth) -> combined tree
+    for models.unet.Unet (encoder.* timm backbone + decoder.* UnetDecoder)."""
+    from sfmnext_tpu.models.convnext import convnext_cfg
+
+    depths, _ = convnext_cfg(backbone)
+    enc_p = convert_convnext(sd, depths, prefix="encoder.")
+    dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
+    return (
+        {"encoder": enc_p, "decoder": dec_p},
+        {"encoder": {}, "decoder": dec_s},
+    )
+
+
+def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
+    """Reference Unet checkpoint for any supported timm backbone family."""
+    if backbone.startswith("convnext"):
+        return convert_convnext_unet(sd, backbone)
+    if backbone.startswith("resnet"):
+        layers = int("".join(c for c in backbone if c.isdigit()) or 50)
+        enc_sd = {
+            k[len("encoder."):]: v
+            for k, v in sd.items()
+            if k.startswith("encoder.")
+        }
+        enc_p, enc_s = convert_resnet_encoder(enc_sd, layers)
+        dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
+        return (
+            {"encoder": enc_p, "decoder": dec_p},
+            {"encoder": enc_s, "decoder": dec_s},
+        )
+    raise NotImplementedError(f"no Unet converter for backbone {backbone!r}")
+
+
+def convert_encoder_pth(sd: Dict[str, np.ndarray], opt):
+    """Dispatch an encoder.pth state_dict by --backbone (the reference's
+    model switch, trainer.py:57-64). Returns (params, batch_stats) for the
+    'encoder' module of the bundle."""
+    if opt.backbone in ("resnet", "resnet_lite"):
+        return convert_resnet_encoder_decoder(sd, opt.num_layers)
+    if opt.backbone == "resnet18_lite":
+        return convert_resnet_encoder_decoder(sd, 18)
+    if opt.backbone == "eff_b5":
+        return convert_base_encoder_decoder(sd)
+    return convert_unet(sd, opt.backbone)
+
+
 # -------------------------------------------------------------------- PoseCNN
 
 
