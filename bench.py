@@ -54,7 +54,10 @@ def main():
     variables = init_params(opt, models, jax.random.PRNGKey(0))
     tx = make_optimizer(opt, steps_per_epoch=1000)
     state = TrainState.create(variables, tx)
-    step_fn = make_train_step(opt, models, tx, donate=True)
+    # augment=True: measure the step the Trainer actually runs (on-device
+    # flip + ColorJitter included), matching training/trainer.py:140-142.
+    augment = os.environ.get("BENCH_AUGMENT", "1") != "0"
+    step_fn = make_train_step(opt, models, tx, donate=True, augment=augment)
 
     batch = jax.tree_util.tree_map(
         jnp.asarray, make_batch(batch_size, height, width)

@@ -91,6 +91,15 @@ class Unet(nn.Module):
             feats = ConvNeXt(
                 depths, dims, self.train, self.dtype, name="encoder"
             )(x)
+        elif "efficientnet" in self.backbone:
+            from sfmnext_tpu.models.efficientnet import EfficientNet
+
+            # 5 stride taps -> 4 skip-connected decoder blocks end at 1/2
+            # resolution (timm features_only convention, Unet.py:114-117)
+            feats = EfficientNet(
+                variant=self.backbone, features_only=True,
+                train=self.train, dtype=self.dtype, name="encoder",
+            )(x)
         elif self.backbone.startswith("resnet"):
             from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
 
@@ -106,9 +115,9 @@ class Unet(nn.Module):
             )(x)[1:]
         else:
             raise NotImplementedError(
-                f"backbone {self.backbone!r}: convnext_* / resnet* families "
-                "implemented; use backbone='resnet'/'eff_b5' for the other "
-                "reference paths"
+                f"backbone {self.backbone!r}: convnext_* / resnet* / "
+                "*efficientnet_b[0-7]* families implemented; use "
+                "backbone='resnet'/'eff_b5' for the other reference paths"
             )
         out = UnetDecoder(
             tuple(self.decoder_channels),

@@ -107,6 +107,51 @@ def avg_pool_same(x, k: int):
     return y
 
 
+def ssim_target_stats(target, k: int = 7):
+    """Precompute the target-side SSIM window statistics once.
+
+    The training loss evaluates SSIM of several predictions against the SAME
+    target (2 warped + 2 identity frames per step, trainer.py:474-488) — the
+    target's mu/sigma account for 2 of the 5 pooled maps per pair and are
+    identical across pairs. Returns (padded_target, mu_t, sigma_t).
+    """
+    tp = reflection_pad_2d(target, k // 2)
+    mu_t = avg_pool_same(tp, k)
+    sigma_t = avg_pool_same(tp * tp, k) - mu_t * mu_t
+    return tp, mu_t, sigma_t
+
+
+def ssim_multi(preds, target_stats, k: int = 7, c1: float = 0.01 ** 2,
+               c2: float = 0.03 ** 2):
+    """SSIM distance of N channel-stacked predictions vs one target.
+
+    TPU-first: all N predictions ride ONE set of pooling convs (channel
+    count 3N instead of N separate 3-channel depthwise convs) and the
+    target statistics are shared — 3N+2 pooled maps in 5 conv calls instead
+    of 5N maps in 5N calls.
+
+    Args:
+      preds: [B,H,W,3N] stacked predictions.
+      target_stats: output of :func:`ssim_target_stats`.
+    Returns:
+      [B,H,W,3N] dissimilarity map (same math as :func:`ssim` per group).
+    """
+    tp, mu_t, sigma_t = target_stats
+    n = preds.shape[-1] // tp.shape[-1]
+    pp = reflection_pad_2d(preds, k // 2)
+
+    mu_p = avg_pool_same(pp, k)
+    sigma_p = avg_pool_same(pp * pp, k) - mu_p * mu_p
+    tp_n = jnp.tile(tp, (1, 1, 1, n))
+    sigma_pt = avg_pool_same(pp * tp_n, k) - mu_p * jnp.tile(mu_t, (1, 1, 1, n))
+
+    mu_t_n = jnp.tile(mu_t, (1, 1, 1, n))
+    sigma_t_n = jnp.tile(sigma_t, (1, 1, 1, n))
+    ssim_n = (2 * mu_p * mu_t_n + c1) * (2 * sigma_pt + c2)
+    ssim_d = (mu_p * mu_p + mu_t_n * mu_t_n + c1) * (sigma_p + sigma_t_n + c2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
+
+
 def ssim(x, y, k: int = 7, c1: float = 0.01 ** 2, c2: float = 0.03 ** 2):
     """SSIM *distance* map: clamp((1 - SSIM)/2, 0, 1).
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sfmnext_tpu.ops.image import ssim
+from sfmnext_tpu.ops.image import ssim, ssim_multi, ssim_target_stats
 
 
 def reprojection_loss(pred, target, ssim_weight: float = 0.85, use_ssim: bool = True):
@@ -21,6 +21,41 @@ def reprojection_loss(pred, target, ssim_weight: float = 0.85, use_ssim: bool = 
     if not use_ssim:
         return l1
     ssim_err = ssim(pred, target).mean(axis=-1, keepdims=True)
+    return ssim_weight * ssim_err + (1.0 - ssim_weight) * l1
+
+
+def reprojection_losses_stacked(
+    preds,
+    target,
+    ssim_weight: float = 0.85,
+    use_ssim: bool = True,
+    target_stats=None,
+):
+    """Photometric error of N predictions vs one target in one fused pass.
+
+    Same per-pair math as :func:`reprojection_loss` (trainer.py:441-453),
+    but all N predictions go through ONE channel-stacked SSIM with shared
+    target statistics (see ops.image.ssim_multi) — the training hot path.
+
+    Args:
+      preds: list of N [B,H,W,3] predictions.
+      target: [B,H,W,3]; target_stats: optional precomputed
+        ssim_target_stats(target) shared with other calls.
+    Returns:
+      [B,H,W,N] per-frame loss maps.
+    """
+    n = len(preds)
+    stacked = jnp.concatenate(preds, axis=-1)  # [B,H,W,3N]
+    b, h, w, _ = stacked.shape
+    tgt_n = jnp.tile(target, (1, 1, 1, n))
+    l1 = jnp.abs(tgt_n - stacked).reshape(b, h, w, n, 3).mean(axis=-1)
+    if not use_ssim:
+        return l1
+    if target_stats is None:
+        target_stats = ssim_target_stats(target)
+    ssim_err = (
+        ssim_multi(stacked, target_stats).reshape(b, h, w, n, 3).mean(axis=-1)
+    )
     return ssim_weight * ssim_err + (1.0 - ssim_weight) * l1
 
 

@@ -227,7 +227,7 @@ def forward(
     # 3. warp every source frame into the target view
     K, inv_K = batch["K"], batch["inv_K"]
     target = batch["color"][:, 0]
-    reproj, ident = [], []
+    warped_srcs, ident_srcs = [], []
     for idx, f_i in enumerate(frame_ids[1:], start=1):
         if f_i == "s":
             T = batch["stereo_T"]
@@ -247,22 +247,24 @@ def forward(
         )
         warped, pix = warp_frame(src, depth, inv_K, K, T, use_pallas=use_pallas)
         outputs[f"warped_{f_i}"] = warped
+        warped_srcs.append(warped)
+        ident_srcs.append(src)
 
-        reproj.append(
-            L.reprojection_loss(
-                warped, target, opt.ssim_weight, use_ssim=not opt.no_ssim
+    # one channel-stacked SSIM pass per group with shared target statistics
+    # (the hot loss path); the identity group is param-independent, so its
+    # separate stack keeps its conv backward out of the graph entirely
+    use_ssim = not opt.no_ssim
+    tstats = L.ssim_target_stats(target) if use_ssim else None
+    reproj = L.reprojection_losses_stacked(
+        warped_srcs, target, opt.ssim_weight, use_ssim, tstats
+    )  # [B,H,W,F]
+    ident = None
+    if not opt.disable_automasking:
+        ident = jax.lax.stop_gradient(
+            L.reprojection_losses_stacked(
+                ident_srcs, target, opt.ssim_weight, use_ssim, tstats
             )
         )
-        if not opt.disable_automasking:
-            # identity losses are param-independent: stop_gradient makes
-            # the DCE of their backward explicit
-            ident.append(
-                jax.lax.stop_gradient(
-                    L.reprojection_loss(
-                        src, target, opt.ssim_weight, use_ssim=not opt.no_ssim
-                    )
-                )
-            )
 
     # 3b. predictive mask ablation: per-source sigmoid mask weights the
     # reprojection losses + 0.2*BCE(mask, 1) keep-alive (trainer.py:495-507)
@@ -273,15 +275,15 @@ def forward(
         )
         pmask = pm_out[("disp", 0)]  # [B,H,W,n_sources], full res at scale 0
         outputs["predictive_mask"] = pmask
-        reproj = [r * pmask[..., i : i + 1] for i, r in enumerate(reproj)]
+        reproj = reproj * pmask
         mask_weight_loss = 0.2 * (
             -jnp.log(jnp.clip(pmask, 1e-7, 1.0))
         ).mean()
 
     # 4. combine (min over frames, automask)
     to_optimise, automask = L.min_reprojection_loss(
-        reproj,
-        ident if not opt.disable_automasking else None,
+        [reproj],
+        [ident] if ident is not None else None,
         rng=rng_noise if train else None,
         avg_reprojection=opt.avg_reprojection,
     )

@@ -218,17 +218,21 @@ def convert_sql_decoder(sd: Dict[str, np.ndarray], num_heads: int = 4):
 # ------------------------------------------------------------ EfficientNet-B5
 
 
-def convert_efficientnet_b5(sd: Dict[str, np.ndarray], prefix: str = ""):
-    """gen-efficientnet ``tf_efficientnet_b5_ap`` state_dict ->
-    (params, batch_stats) for models.efficientnet.EfficientNetB5.
+def convert_efficientnet_b5(sd: Dict[str, np.ndarray], prefix: str = "",
+                            variant: str = "efficientnet_b5"):
+    """gen-efficientnet / timm efficientnet state_dict ->
+    (params, batch_stats) for models.efficientnet.EfficientNet.
 
     Key layout is the torch.hub rwightman/gen-efficientnet-pytorch model the
     reference loads (networks/base_encoder.py:91-94): conv_stem / bn1 /
     blocks.{stage}.{block}.* / conv_head, with DepthwiseSeparableConv naming
     in stage 0 (conv_dw,bn1,se,conv_pw,bn2) and InvertedResidual elsewhere
-    (conv_pw,bn1,conv_dw,bn2,se,conv_pwl,bn3).
+    (conv_pw,bn1,conv_dw,bn2,se,conv_pwl,bn3). conv_head is skipped when the
+    checkpoint lacks it (timm features_only Unet backbones).
     """
-    from sfmnext_tpu.models.efficientnet import B5_STAGES
+    from sfmnext_tpu.models.efficientnet import efficientnet_cfg
+
+    cfg = efficientnet_cfg(variant)
 
     def g(key):
         return sd[prefix + key]
@@ -240,8 +244,8 @@ def convert_efficientnet_b5(sd: Dict[str, np.ndarray], prefix: str = ""):
     stats["bn1"] = {"BatchNorm_0": bns}
 
     for si in range(7):
-        expand = B5_STAGES["expand"][si]
-        for bi in range(B5_STAGES["repeats"][si]):
+        expand = cfg["expand"][si]
+        for bi in range(cfg["repeats"][si]):
             src = f"blocks.{si}.{bi}"
             dst = f"stage{si}_block{bi}"
             blk_p: Dict[str, Any] = {}
@@ -269,7 +273,8 @@ def convert_efficientnet_b5(sd: Dict[str, np.ndarray], prefix: str = ""):
             params[dst] = blk_p
             stats[dst] = blk_s
 
-    params["conv_head"] = {"kernel": _conv_w(g("conv_head.weight"))}
+    if prefix + "conv_head.weight" in sd:
+        params["conv_head"] = {"kernel": _conv_w(g("conv_head.weight"))}
     return params, stats
 
 
@@ -389,6 +394,15 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
     """Reference Unet checkpoint for any supported timm backbone family."""
     if backbone.startswith("convnext"):
         return convert_convnext_unet(sd, backbone)
+    if "efficientnet" in backbone:
+        enc_p, enc_s = convert_efficientnet_b5(
+            sd, prefix="encoder.", variant=backbone
+        )
+        dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
+        return (
+            {"encoder": enc_p, "decoder": dec_p},
+            {"encoder": enc_s, "decoder": dec_s},
+        )
     if backbone.startswith("resnet"):
         layers = int("".join(c for c in backbone if c.isdigit()) or 50)
         enc_sd = {

@@ -118,7 +118,9 @@ def test_effb5_encoder_decoder_contract():
     assert y.shape == (1, 32, 48, 16)
 
 
-@pytest.mark.parametrize("backbone", ["convnext_atto", "resnet18"])
+@pytest.mark.parametrize(
+    "backbone", ["convnext_atto", "resnet18", "tf_efficientnet_b0"]
+)
 def test_unet_backbones_half_res_contract(backbone):
     from sfmnext_tpu.models.unet import Unet
 

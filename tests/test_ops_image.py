@@ -95,3 +95,40 @@ def test_reflection_pad_matches_torch():
     ours = np.asarray(jimage.reflection_pad_2d(jnp.asarray(x), 2))
     theirs = to_nhwc(torch.nn.ReflectionPad2d(2)(nchw(x)))
     np.testing.assert_allclose(ours, theirs)
+
+
+def test_ssim_multi_matches_per_pair_ssim():
+    """The channel-stacked shared-target-stats SSIM equals N independent
+    ssim() calls (the training hot-path restructure must be a pure
+    reformulation)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    target = rng.rand(2, 16, 24, 3).astype(np.float32)
+    preds = [rng.rand(2, 16, 24, 3).astype(np.float32) for _ in range(3)]
+
+    stats = jimage.ssim_target_stats(jnp.asarray(target))
+    stacked = jnp.concatenate([jnp.asarray(p) for p in preds], axis=-1)
+    got = np.asarray(jimage.ssim_multi(stacked, stats))
+
+    for i, p in enumerate(preds):
+        ref = np.asarray(jimage.ssim(jnp.asarray(p), jnp.asarray(target)))
+        np.testing.assert_allclose(
+            got[..., 3 * i : 3 * i + 3], ref, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_reprojection_losses_stacked_matches_loop():
+    import jax.numpy as jnp
+
+    from sfmnext_tpu.ops import losses as L
+
+    rng = np.random.RandomState(8)
+    target = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    preds = [
+        jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32)) for _ in range(4)
+    ]
+    got = np.asarray(L.reprojection_losses_stacked(preds, target))
+    for i, p in enumerate(preds):
+        ref = np.asarray(L.reprojection_loss(p, target))[..., 0]
+        np.testing.assert_allclose(got[..., i], ref, rtol=1e-5, atol=1e-6)

@@ -55,3 +55,46 @@ def test_pallas_warp_gradients_match_xla():
     with pltpu.force_tpu_interpret_mode():
         gp = jax.grad(loss_p)(grid)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-6)
+
+
+def test_band_assumption_at_flagship_resolution():
+    """The kernel clamps when one output row's source-y spread exceeds
+    BAND-2 rows (warp_kernel.py:19-23). Verify real SSL training warps at
+    320x1024 stay inside the band: poses at the PoseCNN output scale
+    (0.01 * unit-normal, pose_cnn.py:47) with mean-inv-depth-scaled
+    translation (trainer.py:412-421) over KITTI-like depth."""
+    from sfmnext_tpu.ops import geometry
+    from sfmnext_tpu.ops.pallas.warp_kernel import BAND
+
+    h, w = 320, 1024
+    K = np.array(
+        [[0.58 * w, 0, 0.5 * w, 0], [0, 1.92 * h, 0.5 * h, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
+    )
+    inv_K = np.linalg.inv(K).astype(np.float32)
+    rng = np.random.RandomState(0)
+    # KITTI-ish depth: 4..60m with structure
+    depth = (10 + 20 * np.linspace(0, 1, h)[::-1, None] ** 2).repeat(w, 1)
+    depth = depth + rng.rand(h, w) * 5
+    depth = jnp.asarray(depth[None, ..., None], jnp.float32)
+
+    worst = 0.0
+    for seed in range(8):
+        r = np.random.RandomState(seed)
+        aa = jnp.asarray(0.01 * r.randn(1, 3), jnp.float32)
+        t = jnp.asarray(0.01 * r.randn(1, 3), jnp.float32)
+        mean_inv_depth = float((1.0 / depth).mean())
+        T = geometry.transformation_from_parameters(
+            aa, t * mean_inv_depth, invert=bool(seed % 2)
+        )
+        cam = geometry.backproject_depth(depth, jnp.asarray(inv_K[None]))
+        pix = geometry.project_3d(cam, jnp.asarray(K[None]), T, h, w)
+        # source y in pixels per output row
+        fy = (np.asarray(pix[..., 1]) + 1) * 0.5 * (h - 1)
+        fy = np.clip(fy, 0, h - 1)
+        spread = (fy.max(axis=2) - fy.min(axis=2)).max()
+        worst = max(worst, float(spread))
+    assert worst < BAND - 2, (
+        f"per-row source spread {worst:.1f} rows exceeds the Pallas band "
+        f"({BAND - 2}); training would silently clamp - raise BAND"
+    )
