@@ -4,23 +4,32 @@ Why: XLA's gather costs ~3 ns/index on v5e regardless of formulation —
 the full-res photometric warps (2.6M samples each) dominated the whole
 train step (~70 ms per warp of a ~190 ms loss section). This kernel keeps
 the source image in VMEM and resolves samples with lane-local dynamic
-gathers, exploiting the structure of view-synthesis warps: **sources for
-one output row lie in a narrow vertical band**.
+gathers, exploiting the structure of view-synthesis warps: **sources lie
+in a narrow displacement band around the output pixel**.
 
 Mechanics (per output row / channel / 128-lane slab):
-  * dynamic-slice a BAND-row window of the source image at the row's
-    minimum source y (sublane-aligned);
+  * vertical: a BAND-row window dynamically sliced at the row's minimum
+    source y (sublane-aligned) — rotation shifts a whole row's sources
+    together, so the within-row *spread* stays small even when the
+    absolute displacement is tens of rows;
+  * horizontal: a *static* XWIN-lane window centered on the output slab
+    (sources sit within ~±128 px of their output column), so x-window
+    addresses are compile-time constants — the row min is the kernel's
+    only data-dependent scalar;
   * `take_along_axis` along lanes picks x-columns (Mosaic lane gather
     handles one vreg, hence the 128-wide slab split; each output slab
-    scans all source slabs with an xhi mask);
+    scans the window's XWIN/128 source slabs with an xhi mask, merged
+    BEFORE the band reduction);
   * the source row within the band resolves via an iota==dy one-hot
-    reduction.
+    weight map that also folds in the vertical lerp weights.
 
 Exactness: matches ops.warp.grid_sample(border, align_corners) except
-when one output row's vertical source spread exceeds BAND-2 rows
-(extreme roll) — those samples clamp to the band edge. SSL warps here
-are near-identity (pose ~0.01-scale); the XLA path remains the reference
-implementation and the eval default.
+when one output row's vertical source spread exceeds BAND-2 rows, or a
+sample's horizontal displacement exceeds the static window (guaranteed
+dx coverage [-128, +126] at XWIN=384) — such samples clamp to the
+window edge. SSL warps here are near-identity (pose ~0.01-scale; see
+the assumption tests in tests/test_pallas_warp.py); the XLA path
+remains the reference implementation and the eval default.
 
 Backward: custom VJP. Cotangents flow to the *coordinates* (the
 depth/pose path); the source image is training data, so its cotangent is
@@ -38,10 +47,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BAND = 32  # vertical source window per output row (multiple of 8)
+BAND = 32   # vertical source window per output row (multiple of 8)
+XWIN = 384  # horizontal source window per output slab (multiple of 128)
 
 
-def _row_setup(fy_row, fx_row, h, w, band):
+def _row_setup(fy_row, fx_row, h, w):
     """Clamped corner indices + weights for one output row ([W] vectors)."""
     fyc = jnp.clip(fy_row, 0.0, h - 1)
     fxc = jnp.clip(fx_row, 0.0, w - 1)
@@ -49,77 +59,107 @@ def _row_setup(fy_row, fx_row, h, w, band):
     x0 = jnp.clip(jnp.floor(fxc), 0, w - 2).astype(jnp.int32)
     wy = fyc - y0
     wx = fxc - x0
-    y_base = jnp.clip((jnp.min(y0) // 8) * 8, 0, h - band)
-    y_base = pl.multiple_of(y_base, 8)
-    y_rel = jnp.clip(y0 - y_base, 0, band - 2)
-    return y_base, y_rel, x0, wy, wx
+    return y0, x0, wy, wx
 
 
-def _slab_corners(band_c, yr, xl, n_slabs, w):
-    """Corner values for one 128-lane output slab from band_c [band, W].
+def _gather_pos(win, xs, xwin):
+    """Gather win[:, xs[j]] for each output lane j -> [band, LANES].
 
-    yr / xl: [LANES] band-relative row and absolute x of the top-left
-    corner. Returns (v00, v01, v10, v11) each [LANES].
+    The xhi mask merges the window's slabs BEFORE any band reduction —
+    the merged map then needs only one one-hot reduction per corner row
+    instead of one per (position, source slab).
     """
-    band = band_c.shape[0]
-    riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
-    sel0 = riota == yr[None, :]
-    sel1 = riota == (yr + 1)[None, :]
+    band = win.shape[0]
+    xhi = xs // LANES
+    xlo = jnp.broadcast_to((xs % LANES)[None, :], (band, LANES))
+    merged = jnp.zeros((band, LANES), win.dtype)
+    for src in range(xwin // LANES):
+        cand = jnp.take_along_axis(
+            win[:, src * LANES : (src + 1) * LANES], xlo, axis=1
+        )
+        merged = merged + (xhi == src).astype(win.dtype) * cand
+    return merged
 
-    xr = jnp.minimum(xl + 1, w - 1)
-    acc = [jnp.zeros((LANES,), band_c.dtype) for _ in range(4)]
-    for pos, xs in ((0, xl), (1, xr)):
-        xhi = xs // LANES
-        xlo = jnp.broadcast_to((xs % LANES)[None, :], (band, LANES))
-        for src in range(n_slabs):
-            cand = jnp.take_along_axis(
-                band_c[:, src * LANES : (src + 1) * LANES], xlo, axis=1
-            )  # [BAND, LANES]
-            m = (xhi == src).astype(band_c.dtype)
-            z = jnp.zeros_like(cand)
-            acc[pos] = acc[pos] + m * jnp.sum(jnp.where(sel0, cand, z), axis=0)
-            acc[pos + 2] = acc[pos + 2] + m * jnp.sum(
-                jnp.where(sel1, cand, z), axis=0
-            )
-    return acc  # [v00, v01, v10, v11]
+
+def _y_window(y0, band, h):
+    """Adaptive vertical window start for one output row (8-aligned).
+
+    Data-dependent (min over the row's source rows): rotation shifts a
+    whole row's sources together, so the *spread* within a row stays
+    small (< band-2, asserted by the assumption test) even when the
+    absolute displacement is tens of rows. This is the kernel's only
+    data-dependent scalar; the x window is static per slab.
+    """
+    y_base = jnp.clip((jnp.min(y0) // 8) * 8, 0, max(h - band, 0))
+    return pl.multiple_of(y_base, 8)
+
+
+def _x_window(s, xwin, w):
+    """Static horizontal window start for output slab s (python int)."""
+    return max(0, min(w - xwin, (s - 1) * LANES))
 
 
 def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c):
     n_slabs = w // LANES
     band = min(BAND, h)
+    xwin = min(XWIN, w)
     for i in range(rows):
-        y_base, y_rel, x0, wy, wx = _row_setup(
-            fy_ref[0, i], fx_ref[0, i], h, w, band
-        )
-        bands = [img_ref[0, ch, pl.ds(y_base, band), :] for ch in range(c)]
+        y0, x0, wy, wx = _row_setup(fy_ref[0, i], fx_ref[0, i], h, w)
+        y_base = _y_window(y0, band, h)
+        # displacements beyond the window clamp to its edge (see docstring)
+        y_rel = jnp.clip(y0 - y_base, 0, band - 2)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
             yr, xl = y_rel[sl], x0[sl]
             wys, wxs = wy[sl], wx[sl]
+            x_base = _x_window(s, xwin, w)
+            xlw = jnp.clip(xl - x_base, 0, xwin - 2)
+            # fold the vertical lerp into one weight map:
+            # out = lerp_x(sum_r wmap[r] * merged[r])
+            riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
+            wmap = jnp.where(riota == yr[None, :], (1 - wys)[None, :], 0.0)
+            wmap = jnp.where(riota == (yr + 1)[None, :], wys[None, :], wmap)
             for ch in range(c):
-                v00, v01, v10, v11 = _slab_corners(bands[ch], yr, xl, n_slabs, w)
-                top = v00 * (1 - wxs) + v01 * wxs
-                bot = v10 * (1 - wxs) + v11 * wxs
-                out_ref[0, ch, i, sl] = top * (1 - wys) + bot * wys
+                win = img_ref[
+                    0, ch, pl.ds(y_base, band), x_base : x_base + xwin
+                ]
+                left = jnp.sum(wmap * _gather_pos(win, xlw, xwin), axis=0)
+                right = jnp.sum(wmap * _gather_pos(win, xlw + 1, xwin), axis=0)
+                out_ref[0, ch, i, sl] = left * (1 - wxs) + right * wxs
 
 
 def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
                 *, rows, h, w, c):
     n_slabs = w // LANES
     band = min(BAND, h)
+    xwin = min(XWIN, w)
     for i in range(rows):
         fy_row = fy_ref[0, i]
         fx_row = fx_ref[0, i]
-        y_base, y_rel, x0, wy, wx = _row_setup(fy_row, fx_row, h, w, band)
-        bands = [img_ref[0, ch, pl.ds(y_base, band), :] for ch in range(c)]
+        y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w)
+        y_base = _y_window(y0, band, h)
+        y_rel = jnp.clip(y0 - y_base, 0, band - 2)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
             yr, xl = y_rel[sl], x0[sl]
             wys, wxs = wy[sl], wx[sl]
+            x_base = _x_window(s, xwin, w)
+            xlw = jnp.clip(xl - x_base, 0, xwin - 2)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
+            sel0 = (riota == yr[None, :]).astype(fy_row.dtype)
+            sel1 = (riota == (yr + 1)[None, :]).astype(fy_row.dtype)
             dfy = jnp.zeros((LANES,), fy_row.dtype)
             dfx = jnp.zeros((LANES,), fx_row.dtype)
             for ch in range(c):
-                v00, v01, v10, v11 = _slab_corners(bands[ch], yr, xl, n_slabs, w)
+                win = img_ref[
+                    0, ch, pl.ds(y_base, band), x_base : x_base + xwin
+                ]
+                ml = _gather_pos(win, xlw, xwin)
+                mr = _gather_pos(win, xlw + 1, xwin)
+                v00 = jnp.sum(sel0 * ml, axis=0)
+                v01 = jnp.sum(sel0 * mr, axis=0)
+                v10 = jnp.sum(sel1 * ml, axis=0)
+                v11 = jnp.sum(sel1 * mr, axis=0)
                 g = g_ref[0, ch, i, sl]
                 dfy = dfy + g * ((v10 - v00) * (1 - wxs) + (v11 - v01) * wxs)
                 dfx = dfx + g * ((v01 - v00) * (1 - wys) + (v11 - v10) * wys)

@@ -59,8 +59,8 @@ def test_pallas_warp_gradients_match_xla():
 
 def test_band_assumption_at_flagship_resolution():
     """The kernel clamps when one output row's source-y spread exceeds
-    BAND-2 rows (warp_kernel.py:19-23). Verify real SSL training warps at
-    320x1024 stay inside the band: poses at the PoseCNN output scale
+    BAND-2 rows (warp_kernel._y_window). Verify real SSL training warps
+    at 320x1024 stay inside the band: poses at the PoseCNN output scale
     (0.01 * unit-normal, pose_cnn.py:47) with mean-inv-depth-scaled
     translation (trainer.py:412-421) over KITTI-like depth."""
     from sfmnext_tpu.ops import geometry
@@ -97,4 +97,44 @@ def test_band_assumption_at_flagship_resolution():
     assert worst < BAND - 2, (
         f"per-row source spread {worst:.1f} rows exceeds the Pallas band "
         f"({BAND - 2}); training would silently clamp - raise BAND"
+    )
+
+
+def test_xwindow_assumption_at_flagship_resolution():
+    """The kernel also clamps when a sample's horizontal displacement
+    leaves the static XWIN window around its slab (warp_kernel._x_window:
+    guaranteed coverage dx in [-128, +126] at XWIN=384). Verify
+    flagship-scale SSL warps fit."""
+    from sfmnext_tpu.ops import geometry
+    from sfmnext_tpu.ops.pallas.warp_kernel import LANES, XWIN
+
+    h, w = 320, 1024
+    K = np.array(
+        [[0.58 * w, 0, 0.5 * w, 0], [0, 1.92 * h, 0.5 * h, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32,
+    )
+    inv_K = np.linalg.inv(K).astype(np.float32)
+    rng = np.random.RandomState(0)
+    depth = (10 + 20 * np.linspace(0, 1, h)[::-1, None] ** 2).repeat(w, 1)
+    depth = depth + rng.rand(h, w) * 5
+    depth = jnp.asarray(depth[None, ..., None], jnp.float32)
+
+    worst = 0.0
+    for seed in range(8):
+        r = np.random.RandomState(seed)
+        aa = jnp.asarray(0.01 * r.randn(1, 3), jnp.float32)
+        t = jnp.asarray(0.01 * r.randn(1, 3), jnp.float32)
+        mean_inv_depth = float((1.0 / depth).mean())
+        T = geometry.transformation_from_parameters(
+            aa, t * mean_inv_depth, invert=bool(seed % 2)
+        )
+        cam = geometry.backproject_depth(depth, jnp.asarray(inv_K[None]))
+        pix = geometry.project_3d(cam, jnp.asarray(K[None]), T, h, w)
+        fx = (np.asarray(pix[..., 0]) + 1) * 0.5 * (w - 1)
+        fx = np.clip(fx, 0, w - 1)
+        dx = np.abs(fx - np.arange(w)[None, None, :]).max()
+        worst = max(worst, float(dx))
+    assert worst < (XWIN - LANES) // 2 - 2, (
+        f"horizontal displacement {worst:.1f} px exceeds the Pallas "
+        f"x-window guarantee ({(XWIN - LANES) // 2 - 2}); raise XWIN"
     )

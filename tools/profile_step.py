@@ -80,7 +80,11 @@ def main():
             total, aux = forward(models, p, stats, batch, rng, opt)
             return total
 
-        return jax.grad(f)(params)["depth"]["prob_bias"]
+        # consume every grad leaf — returning a single leaf lets XLA
+        # dead-code-eliminate most of the conv backward, which silently
+        # shifted ~80 ms of backward into the "optimizer" row
+        grads = jax.grad(f)(params)
+        return sum(g.sum() for g in jax.tree_util.tree_leaves(grads))
 
     img = batch["color_aug"][:, 0]
     t_enc = timeit("encoder fwd", encoder_only, params, stats, img)
