@@ -121,6 +121,8 @@ class Options:
 
     # --- TPU-native additions (not in the reference) ---
     compute_dtype: str = "bfloat16"  # model compute dtype on TPU
+    loss_dtype: str = "auto"  # photometric-stack dtype: auto|float32|bfloat16
+                              # (auto follows compute_dtype)
     seed: int = 0
     mesh_shape: Optional[int] = None  # data-parallel degree; None = all devices
     use_pallas: bool = True  # fused SQL kernels where profitable

@@ -61,7 +61,9 @@ def resize_bilinear(x, out_hw, align_corners: bool = False):
     my = jnp.asarray(_interp_matrix(h, oh, align_corners))
     mx = jnp.asarray(_interp_matrix(w, ow, align_corners))
     dtype = x.dtype
-    hi = jax.lax.Precision.HIGHEST  # interpolation weights must not round to bf16
+    # HIGH (3-pass bf16) keeps the interpolation weights at f32 accuracy
+    # (~2^-22 relative) at half the MXU passes of HIGHEST
+    hi = jax.lax.Precision.HIGH
     y = jnp.einsum("oh,bhwc->bowc", my, x.astype(jnp.float32), precision=hi)
     y = jnp.einsum("pw,bowc->bopc", mx, y, precision=hi).astype(dtype)
     return y[0] if squeeze else y
@@ -126,23 +128,33 @@ def _box_reflect_matrix(n: int, k: int) -> np.ndarray:
 
 
 def box_filter_reflect(x, k: int):
-    """k x k average with reflection padding, same-size output [B,H,W,C].
+    """k x k average with reflection padding, [B,H,W,C] -> float32.
 
     TPU-first: the separable box filter runs as two dense [H,H] / [W,W]
     matmuls on the MXU instead of depthwise convolutions on the VPU —
     ~10x faster at 320x1024 despite the nominal FLOP waste, because the
     MXU is otherwise idle during the loss stage. The reflection pad is
     folded into the filter matrices (no materialized padded copy).
+
+    Accumulation is always f32 (the SSIM sigma terms cancel
+    catastrophically otherwise); bf16 inputs ride the native-bf16 MXU
+    path, f32 inputs use 3-pass bf16 (~f32-accurate: the filter matrix
+    entries are small integers, exact in bf16, and only k taps per row
+    are nonzero).
     """
     b, h, w, c = x.shape
     my = jnp.asarray(_box_reflect_matrix(h, k), x.dtype)
     mx = jnp.asarray(_box_reflect_matrix(w, k), x.dtype)
-    # f32 path: HIGHEST keeps exact parity with the torch conv formulation
-    # (only k taps are nonzero per row); bf16 path: native MXU.
-    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    y = jnp.einsum("oh,bhwc->bowc", my, x, precision=prec)
-    y = jnp.einsum("pw,bowc->bopc", mx, y, precision=prec)
-    return y * jnp.asarray(1.0 / (k * k), x.dtype)
+    prec = jax.lax.Precision.HIGH if x.dtype == jnp.float32 else None
+    y = jnp.einsum(
+        "oh,bhwc->bowc", my, x, precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    y = jnp.einsum(
+        "pw,bowc->bopc", mx, y, precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return y * jnp.float32(1.0 / (k * k))
 
 
 def ssim_target_stats(target, k: int = 7):

@@ -252,18 +252,28 @@ def forward(
 
     # one channel-stacked SSIM pass per group with shared target statistics
     # (the hot loss path); the identity group is param-independent, so its
-    # separate stack keeps its conv backward out of the graph entirely
+    # separate stack keeps its conv backward out of the graph entirely.
+    # Under bf16 compute the stack inputs are bf16 (halved HBM traffic,
+    # native-bf16 pooling matmuls); all pooled statistics and the output
+    # maps stay f32 (box_filter_reflect accumulates f32).
     use_ssim = not opt.no_ssim
-    tstats = L.ssim_target_stats(target) if use_ssim else None
+    loss_dtype = (
+        opt.compute_dtype if opt.loss_dtype == "auto" else opt.loss_dtype
+    )
+    ldt = jnp.bfloat16 if loss_dtype == "bfloat16" else jnp.float32
+    target_l = target.astype(ldt)
+    tstats = L.ssim_target_stats(target_l) if use_ssim else None
     reproj = L.reprojection_losses_stacked(
-        warped_srcs, target, opt.ssim_weight, use_ssim, tstats
-    )  # [B,H,W,F]
+        [w.astype(ldt) for w in warped_srcs],
+        target_l, opt.ssim_weight, use_ssim, tstats,
+    ).astype(jnp.float32)  # [B,H,W,F]
     ident = None
     if not opt.disable_automasking:
         ident = jax.lax.stop_gradient(
             L.reprojection_losses_stacked(
-                ident_srcs, target, opt.ssim_weight, use_ssim, tstats
-            )
+                [s.astype(ldt) for s in ident_srcs],
+                target_l, opt.ssim_weight, use_ssim, tstats,
+            ).astype(jnp.float32)
         )
 
     # 3b. predictive mask ablation: per-source sigmoid mask weights the

@@ -34,11 +34,14 @@ def main():
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 640
     bs = 8
 
+    import os
+
+    overrides = json.loads(os.environ.get("SFMNEXT_OPT_OVERRIDES", "{}"))
     opt = Options(
         backbone="resnet", num_layers=18, num_features=256, model_dim=32,
         patch_size=12, query_nums=128, dim_out=64, height=h, width=w,
         batch_size=bs, min_depth=0.1, max_depth=40.0,
-        learning_rate=2e-4,
+        learning_rate=2e-4, **overrides,
     ).validate()
 
     models = build_models(opt, train=True)
