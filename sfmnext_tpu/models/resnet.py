@@ -11,6 +11,7 @@ When ``dtype=bfloat16`` the convs run in bf16 on the MXU with f32 params.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
@@ -26,7 +27,7 @@ RESNET_SPECS = {
 }
 
 
-def _conv(features, kernel, strides=1, name=None, dtype=None):
+def _conv(features, kernel, strides=1, name=None, dtype=None, groups=1):
     k = (kernel, kernel)
     pad = kernel // 2
     return nn.Conv(
@@ -35,6 +36,7 @@ def _conv(features, kernel, strides=1, name=None, dtype=None):
         strides=(strides, strides),
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
+        feature_group_count=groups,
         kernel_init=kaiming_normal_fanout,
         dtype=dtype,
         name=name,
@@ -66,16 +68,22 @@ class Bottleneck(nn.Module):
     strides: int = 1
     train: bool = False
     dtype: object = None
+    groups: int = 1       # resnext: grouped 3x3 (torchvision resnet.py)
+    base_width: int = 64  # wide_resnet: 128; resnext50_32x4d: 4
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.features * 4
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
         identity = x
-        y = _conv(self.features, 1, 1, name="conv1", dtype=self.dtype)(x)
+        y = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         # torchvision puts the stride on the 3x3 (ResNet v1.5)
-        y = _conv(self.features, 3, self.strides, name="conv2", dtype=self.dtype)(y)
+        y = _conv(
+            width, 3, self.strides, name="conv2", dtype=self.dtype,
+            groups=self.groups,
+        )(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
@@ -103,11 +111,21 @@ class ResNetEncoder(nn.Module):
     normalize_input: bool = True
     train: bool = False
     dtype: object = None
+    groups: int = 1       # resnext variants (torchvision resnet.py)
+    base_width: int = 64  # wide_resnet variants
 
     @nn.compact
     def __call__(self, x):
         block_kind, stage_sizes = RESNET_SPECS[self.num_layers]
-        block = BasicBlock if block_kind == "basic" else Bottleneck
+        if block_kind == "basic":
+            assert self.groups == 1 and self.base_width == 64, (
+                "groups/base_width require bottleneck blocks (torchvision)"
+            )
+            block = BasicBlock
+        else:
+            block = functools.partial(
+                Bottleneck, groups=self.groups, base_width=self.base_width
+            )
 
         if self.normalize_input:
             x = (x - 0.45) / 0.225

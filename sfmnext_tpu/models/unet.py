@@ -100,10 +100,23 @@ class Unet(nn.Module):
                 variant=self.backbone, features_only=True,
                 train=self.train, dtype=self.dtype, name="encoder",
             )(x)
-        elif self.backbone.startswith("resnet"):
+        elif self.backbone.startswith(
+            ("resnet", "resnext", "wide_resnet")
+        ):
             from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
 
-            layers = int("".join(c for c in self.backbone if c.isdigit()) or 50)
+            groups, base_width = 1, 64
+            name = self.backbone
+            if name.startswith("resnext"):
+                # resnext<depth>_<groups>x<width>d (torchvision naming)
+                depth, spec = name[len("resnext"):].split("_")
+                groups, base_width = (int(v) for v in spec[:-1].split("x"))
+                layers = int(depth)
+            elif name.startswith("wide_resnet"):
+                depth, mult = name[len("wide_resnet"):].split("_")
+                layers, base_width = int(depth), 64 * int(mult)
+            else:
+                layers = int("".join(c for c in name if c.isdigit()) or 50)
             if layers not in RESNET_SPECS:
                 raise ValueError(f"unknown resnet variant {self.backbone!r}")
             # drop the stride-2 stem tap: 4 skips at strides 4/8/16/32 so the
@@ -111,12 +124,35 @@ class Unet(nn.Module):
             # convention for resnets gives 5; the wiring is equivalent)
             feats = ResNetEncoder(
                 num_layers=layers, train=self.train, dtype=self.dtype,
-                normalize_input=False, name="encoder",
+                normalize_input=False, groups=groups, base_width=base_width,
+                name="encoder",
             )(x)[1:]
+        elif self.backbone.startswith("vgg"):
+            from sfmnext_tpu.models.vgg import VGG
+
+            feats = VGG(
+                variant=self.backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif self.backbone.startswith("densenet"):
+            from sfmnext_tpu.models.densenet import DenseNet
+
+            feats = DenseNet(
+                variant=self.backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif self.backbone.startswith("mobilenetv2"):
+            from sfmnext_tpu.models.mobilenet import MobileNetV2
+
+            feats = MobileNetV2(
+                variant=self.backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
         else:
             raise NotImplementedError(
                 f"backbone {self.backbone!r}: convnext_* / resnet* / "
-                "*efficientnet_b[0-7]* families implemented; use "
+                "resnext* / wide_resnet* / *efficientnet_b[0-7]* / vgg* / "
+                "densenet* / mobilenetv2_* families implemented; use "
                 "backbone='resnet'/'eff_b5' for the other reference paths"
             )
         out = UnetDecoder(

@@ -119,7 +119,12 @@ def test_effb5_encoder_decoder_contract():
 
 
 @pytest.mark.parametrize(
-    "backbone", ["convnext_atto", "resnet18", "tf_efficientnet_b0"]
+    "backbone",
+    [
+        "convnext_atto", "resnet18", "tf_efficientnet_b0",
+        "resnext50_32x4d", "wide_resnet50_2", "vgg11_bn",
+        "densenet121", "mobilenetv2_050",
+    ],
 )
 def test_unet_backbones_half_res_contract(backbone):
     from sfmnext_tpu.models.unet import Unet
