@@ -252,7 +252,8 @@ def _torch_pipeline(ref_layers, encdec, qtr_m, pose_m, batch, b):
         "loss": float(total),
         "reprojection": float(loss),
         "smooth": float(smooth),
-        "depth": depth.numpy(),
+        "depth": depth.detach().numpy(),
+        "total_t": total,  # live tensor for gradient golden tests
     }
 
 
@@ -319,3 +320,94 @@ def test_full_pipeline_matches_live_reference():
     np.testing.assert_allclose(
         float(metrics["loss"]), expect["loss"], rtol=1e-4
     )
+
+
+def test_full_pipeline_gradients_match_live_reference():
+    """Gradient golden test: d(total)/d(params) of the FULL pipeline vs
+    torch autograd through the live reference graph.
+
+    Pins the whole backward — warp VJP, SSIM backward, min-combine
+    subgradients, smoothness, pose chain — not just forward values.
+    Compares the SQL decoder (the paper's core) and PoseCNN gradients;
+    both reach through every loss term. Torch modules in eval mode
+    (matching our train=False running-average BN) with requires_grad on.
+    """
+    ref_layers, qtr_mod, pose_mod = _load_reference()
+    torch.manual_seed(0)
+
+    opt = Options(
+        backbone="resnet", num_layers=50, num_features=64, model_dim=16,
+        patch_size=4, query_nums=16, dim_out=16, height=H, width=W,
+        compute_dtype="float32", disparity_smoothness=SMOOTH_W,
+        use_pallas=False,
+    ).validate()
+    models = build_models(opt, train=False)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    encdec = _TorchEncDec(opt.num_features, opt.model_dim).eval()
+    enc_sd = te.export_resnet_encoder_decoder(params["encoder"], stats["encoder"])
+    encdec.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in enc_sd.items()}, strict=False
+    )
+    qtr = qtr_mod.Depth_Decoder_QueryTr(
+        in_channels=opt.model_dim, patch_size=opt.patch_size,
+        dim_out=opt.dim_out, embedding_dim=opt.model_dim,
+        query_nums=opt.query_nums, num_heads=4,
+        min_val=opt.min_depth, max_val=opt.max_depth,
+    ).eval()
+    dep_sd = te.export_sql_decoder(params["depth"])
+    qtr.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in dep_sd.items()}, strict=True
+    )
+    posecnn = pose_mod.PoseCNN(2).eval()
+    pose_sd = te.export_pose_cnn(params["pose"])
+    posecnn.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in pose_sd.items()}, strict=True
+    )
+
+    b = 2
+    batch = make_batch(b, H, W, seed=4)
+
+    # ---- torch backward through the live reference graph
+    expect = _torch_pipeline(ref_layers, encdec, qtr, posecnn, batch, b)
+    expect["total_t"].backward()
+    t_grads = {
+        "depth": {n: p.grad.numpy() for n, p in qtr.named_parameters()
+                  if p.grad is not None},
+        "pose": {n: p.grad.numpy() for n, p in posecnn.named_parameters()
+                 if p.grad is not None},
+    }
+
+    # ---- jax backward through our pipeline
+    from sfmnext_tpu.training.pipeline import forward
+
+    def loss_fn(p_dep, p_pose):
+        p2 = dict(params)
+        p2["depth"] = p_dep
+        p2["pose"] = p_pose
+        total, _ = forward(models, p2, stats, batch, None, opt)
+        return total
+
+    g_dep, g_pose = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(
+        params["depth"], params["pose"]
+    )
+    # the export shims are pure layout maps, so they convert grad pytrees
+    # into torch-keyed grad dicts too
+    j_grads = {
+        "depth": te.export_sql_decoder(jax.tree_util.tree_map(np.asarray, g_dep)),
+        "pose": te.export_pose_cnn(jax.tree_util.tree_map(np.asarray, g_pose)),
+    }
+
+    for mod in ("depth", "pose"):
+        for name, tg in t_grads[mod].items():
+            jg = j_grads[mod][name]
+            scale = max(np.abs(tg).max(), 1e-12)
+            # elements below ~0.5% of the tensor's max are compared by
+            # absolute scale (their relative error is f32 noise), with a
+            # 1e-8 floor: accumulated f32 rounding through the deep graph
+            # for near-vanishing grads (e.g. late transformer layers)
+            np.testing.assert_allclose(
+                jg, tg, rtol=2e-3, atol=max(5e-3 * scale, 1e-8),
+                err_msg=f"{mod}.{name}",
+            )
