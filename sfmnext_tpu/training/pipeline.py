@@ -84,6 +84,38 @@ def predict_poses(
         return feats
 
     if pairs_mode:
+        temporal_srcs = [
+            (idx, f_i)
+            for idx, f_i in enumerate(frame_ids[1:], start=1)
+            if f_i != "s"
+        ]
+        if (
+            pose_type not in ("shared", "separate_resnet")
+            and models.pose_encoder is None
+            and len(temporal_srcs) > 1
+        ):
+            # PoseCNN has no BatchNorm, so all temporally-ordered pairs
+            # can ride ONE batched forward (exact reference numerics,
+            # trainer.py:324-331; 2x the conv batch on the MXU instead of
+            # two half-size dispatches)
+            b = color_aug.shape[0]
+            pairs = []
+            for idx, f_i in temporal_srcs:
+                if f_i < 0:
+                    pairs.append(jnp.concatenate(
+                        [color_aug[:, idx], color_aug[:, 0]], axis=-1
+                    ))
+                else:
+                    pairs.append(jnp.concatenate(
+                        [color_aug[:, 0], color_aug[:, idx]], axis=-1
+                    ))
+            aa, t = models.pose.apply(
+                {"params": params["pose"]}, jnp.concatenate(pairs, axis=0)
+            )
+            for j, (idx, f_i) in enumerate(temporal_srcs):
+                sl = slice(j * b, (j + 1) * b)
+                out[f_i] = (aa[sl, 0, 0], t[sl, 0, 0], f_i < 0)
+            return out
         for idx, f_i in enumerate(frame_ids[1:], start=1):
             if f_i == "s":
                 continue
