@@ -31,10 +31,16 @@ window edge. SSL warps here are near-identity (pose ~0.01-scale; see
 the assumption tests in tests/test_pallas_warp.py); the XLA path
 remains the reference implementation and the eval default.
 
-Backward: custom VJP. Cotangents flow to the *coordinates* (the
-depth/pose path); the source image is training data, so its cotangent is
-zero. Use the XLA grid_sample wherever image gradients are required
-(e.g. the indoor depth_ref warp).
+Backward: custom VJPs.
+  * warp_border_pallas — cotangents flow to the *coordinates* only (the
+    outdoor SSL path: the sampled source image is training data, its
+    cotangent is identically zero, so the scatter is skipped).
+  * warp_sample_pallas — full gradients: coordinates via the gather-
+    structured kernel, image via a banded one-hot-matmul scatter kernel
+    (_bwd_img_kernel) that accumulates each output slab's contributions
+    into its [BAND, XWIN] source window with two small MXU matmuls.
+    Supports zeros padding (torch semantics) — out-of-image corners
+    vanish because their band/window one-hots match nothing.
 """
 
 from __future__ import annotations
@@ -51,8 +57,22 @@ BAND = 32   # vertical source window per output row (multiple of 8)
 XWIN = 384  # horizontal source window per output slab (multiple of 128)
 
 
-def _row_setup(fy_row, fx_row, h, w):
-    """Clamped corner indices + weights for one output row ([W] vectors)."""
+def _row_setup(fy_row, fx_row, h, w, zeros: bool = False):
+    """Corner indices + weights for one output row ([W] vectors).
+
+    border: coords clamp into the image (torch border semantics).
+    zeros: raw floor/frac — out-of-image corners later vanish naturally
+    because their band/window one-hots match nothing (torch zeros
+    semantics, including partial-corner falloff at the image edge).
+    """
+    if zeros:
+        y0f = jnp.floor(fy_row)
+        x0f = jnp.floor(fx_row)
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        wy = fy_row - y0f
+        wx = fx_row - x0f
+        return y0, x0, wy, wx
     fyc = jnp.clip(fy_row, 0.0, h - 1)
     fxc = jnp.clip(fx_row, 0.0, w - 1)
     y0 = jnp.clip(jnp.floor(fyc), 0, h - 2).astype(jnp.int32)
@@ -88,9 +108,13 @@ def _y_window(y0, band, h):
     whole row's sources together, so the *spread* within a row stays
     small (< band-2, asserted by the assumption test) even when the
     absolute displacement is tens of rows. This is the kernel's only
-    data-dependent scalar; the x window is static per slab.
+    data-dependent scalar; the x window is static per slab. y0 may be
+    out of image range in zeros mode — clamp only the window placement
+    (the one-hot selects still use the raw relative index).
     """
-    y_base = jnp.clip((jnp.min(y0) // 8) * 8, 0, max(h - band, 0))
+    y_base = jnp.clip(
+        (jnp.min(jnp.clip(y0, 0, h - 1)) // 8) * 8, 0, max(h - band, 0)
+    )
     return pl.multiple_of(y_base, 8)
 
 
@@ -99,21 +123,33 @@ def _x_window(s, xwin, w):
     return max(0, min(w - xwin, (s - 1) * LANES))
 
 
-def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c):
+def _rel(idx, base, size, zeros: bool):
+    """Window-relative corner index along one axis.
+
+    border: clamp into the window (border/window-clamp semantics).
+    zeros: raw — out-of-window indices make every band/slab one-hot miss,
+    which zeroes the contribution (exactly the zeros-padding value).
+    """
+    if zeros:
+        return idx - base
+    return jnp.clip(idx - base, 0, size - 2)
+
+
+def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
+                zeros: bool = False):
     n_slabs = w // LANES
     band = min(BAND, h)
     xwin = min(XWIN, w)
     for i in range(rows):
-        y0, x0, wy, wx = _row_setup(fy_ref[0, i], fx_ref[0, i], h, w)
+        y0, x0, wy, wx = _row_setup(fy_ref[0, i], fx_ref[0, i], h, w, zeros)
         y_base = _y_window(y0, band, h)
-        # displacements beyond the window clamp to its edge (see docstring)
-        y_rel = jnp.clip(y0 - y_base, 0, band - 2)
+        y_rel = _rel(y0, y_base, band, zeros)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
             yr, xl = y_rel[sl], x0[sl]
             wys, wxs = wy[sl], wx[sl]
             x_base = _x_window(s, xwin, w)
-            xlw = jnp.clip(xl - x_base, 0, xwin - 2)
+            xlw = _rel(xl, x_base, xwin, zeros)
             # fold the vertical lerp into one weight map:
             # out = lerp_x(sum_r wmap[r] * merged[r])
             riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
@@ -129,22 +165,22 @@ def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c):
 
 
 def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
-                *, rows, h, w, c):
+                *, rows, h, w, c, zeros: bool = False):
     n_slabs = w // LANES
     band = min(BAND, h)
     xwin = min(XWIN, w)
     for i in range(rows):
         fy_row = fy_ref[0, i]
         fx_row = fx_ref[0, i]
-        y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w)
+        y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w, zeros)
         y_base = _y_window(y0, band, h)
-        y_rel = jnp.clip(y0 - y_base, 0, band - 2)
+        y_rel = _rel(y0, y_base, band, zeros)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
             yr, xl = y_rel[sl], x0[sl]
             wys, wxs = wy[sl], wx[sl]
             x_base = _x_window(s, xwin, w)
-            xlw = jnp.clip(xl - x_base, 0, xwin - 2)
+            xlw = _rel(xl, x_base, xwin, zeros)
             riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
             sel0 = (riota == yr[None, :]).astype(fy_row.dtype)
             sel1 = (riota == (yr + 1)[None, :]).astype(fy_row.dtype)
@@ -163,18 +199,129 @@ def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
                 g = g_ref[0, ch, i, sl]
                 dfy = dfy + g * ((v10 - v00) * (1 - wxs) + (v11 - v01) * wxs)
                 dfx = dfx + g * ((v01 - v00) * (1 - wys) + (v11 - v10) * wys)
-            # clamped (border) regions have zero gradient (torch semantics)
-            in_y = ((fy_row[sl] > 0.0) & (fy_row[sl] < h - 1)).astype(dfy.dtype)
-            in_x = ((fx_row[sl] > 0.0) & (fx_row[sl] < w - 1)).astype(dfx.dtype)
-            dfy_ref[0, i, sl] = dfy * in_y
-            dfx_ref[0, i, sl] = dfx * in_x
+            if not zeros:
+                # clamped (border) coords have zero gradient (torch)
+                dfy = dfy * (
+                    (fy_row[sl] > 0.0) & (fy_row[sl] < h - 1)
+                ).astype(dfy.dtype)
+                dfx = dfx * (
+                    (fx_row[sl] > 0.0) & (fx_row[sl] < w - 1)
+                ).astype(dfx.dtype)
+            dfy_ref[0, i, sl] = dfy
+            dfx_ref[0, i, sl] = dfx
 
 
-def _call_fwd(img, fy, fx, rows_per_step: int):
+def _bwd_img_kernel(fy_ref, fx_ref, g_ref, dimg_ref, *, rows, h, w, c,
+                    zeros: bool = False):
+    """Image cotangent: banded scatter via one-hot MXU matmuls.
+
+    dimg[y,x] = sum over output pixels sampling (y,x) of g * bilinear
+    weight. The scatter transposes the gather's band structure: for each
+    output (row, slab), contributions land in the same [band, xwin]
+    window, assembled as sel0^T @ (u0*Z) + sel1^T @ (u1*Z) where Z is
+    the one-hot x-placement matrix carrying the horizontal lerp weights
+    — two small [band,128]x[128,xwin] matmuls per (row, slab, channel)
+    instead of millions of XLA scatter indices (~3 ns each on v5e).
+    The [1,C,H,W] output block is revisited across the row grid and
+    accumulated in VMEM (zeroed at the first row step).
+    """
+    n_slabs = w // LANES
+    band = min(BAND, h)
+    xwin = min(XWIN, w)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dimg_ref[...] = jnp.zeros(dimg_ref.shape, dimg_ref.dtype)
+
+    # static block loads; rows are picked by one-hot inside the loop
+    # (Mosaic rejects dynamic loads at unaligned row offsets)
+    fy_all = fy_ref[0]  # [rows, w]
+    fx_all = fx_ref[0]
+    g_all = g_ref[0, 0]
+
+    def row_body(i, carry):
+        riota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+        pick = (riota_r == i).astype(fy_all.dtype)
+        fy_row = jnp.sum(fy_all * pick, axis=0)
+        fx_row = jnp.sum(fx_all * pick, axis=0)
+        g_row = jnp.sum(g_all * pick.astype(g_all.dtype), axis=0)
+        y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w, zeros)
+        y_base = _y_window(y0, band, h)
+        y_rel = _rel(y0, y_base, band, zeros)
+        for s in range(n_slabs):
+            sl = slice(s * LANES, (s + 1) * LANES)
+            yr, xl = y_rel[sl], x0[sl]
+            wys, wxs = wy[sl], wx[sl]
+            x_base = _x_window(s, xwin, w)
+            xlw = _rel(xl, x_base, xwin, zeros)
+
+            riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
+            sel0 = (riota == yr[None, :]).astype(wys.dtype)
+            sel1 = (riota == (yr + 1)[None, :]).astype(wys.dtype)
+            xiota = jax.lax.broadcasted_iota(jnp.int32, (LANES, xwin), 1)
+            z = jnp.zeros((LANES, xwin), wxs.dtype)
+            z = jnp.where(xiota == xlw[:, None], (1 - wxs)[:, None], z)
+            z = jnp.where(xiota == (xlw + 1)[:, None], wxs[:, None], z)
+            g = g_row[sl]
+            contrib = jax.lax.dot_general(
+                sel0, (g * (1 - wys))[:, None] * z,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                sel1, (g * wys)[:, None] * z,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dimg_ref[
+                0, 0, pl.ds(y_base, band), x_base : x_base + xwin
+            ] += contrib.astype(dimg_ref.dtype)
+        return carry
+
+    # fori_loop (not an unrolled python loop): temporaries are reused
+    # across rows, keeping the one-hot matrices off the scoped-vmem stack
+    jax.lax.fori_loop(0, rows, row_body, 0)
+
+
+def _call_bwd_img(fy, fx, g, img_shape, img_dtype, rows_per_step: int,
+                  zeros: bool):
+    b, h, w, c = img_shape
+    # channel is a grid dim so the revisited VMEM accumulator block is a
+    # single [1,1,H,W] plane (a [1,C,H,W] block blew the scoped-vmem cap)
+    grid = (b, c, fy.shape[1] // rows_per_step)
+    kern = functools.partial(
+        _bwd_img_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
+    )
+    g_t = jnp.transpose(g, (0, 3, 1, 2))
+    dimg_t = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rows_per_step, w),
+                         lambda bi, ci, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_per_step, w),
+                         lambda bi, ci, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows_per_step, w),
+                         lambda bi, ci, ri: (bi, ci, ri, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w), lambda bi, ci, ri: (bi, ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), img_dtype),
+    )(fy, fx, g_t)
+    return jnp.transpose(dimg_t, (0, 2, 3, 1))
+
+
+def _call_fwd(img, fy, fx, rows_per_step: int, zeros: bool = False):
     b, h, w, c = img.shape
     img_t = jnp.transpose(img, (0, 3, 1, 2))  # [B,C,H,W]: lanes = W
     grid = (b, fy.shape[1] // rows_per_step)
-    kern = functools.partial(_fwd_kernel, rows=rows_per_step, h=h, w=w, c=c)
+    kern = functools.partial(
+        _fwd_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
+    )
     out_t = pl.pallas_call(
         kern,
         grid=grid,
@@ -195,25 +342,15 @@ def _call_fwd(img, fy, fx, rows_per_step: int):
     return jnp.transpose(out_t, (0, 2, 3, 1))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def warp_border_pallas(img, fy, fx, rows_per_step: int = 8):
-    """Bilinear border-mode sample of img [B,H,W,C] at pixel coords
-    fy/fx [B,Ho,W] (unnormalized). Coordinates get gradients; img doesn't."""
-    return _call_fwd(img, fy, fx, rows_per_step)
-
-
-def _vjp_fwd(img, fy, fx, rows_per_step):
-    return _call_fwd(img, fy, fx, rows_per_step), (img, fy, fx)
-
-
-def _vjp_bwd(rows_per_step, res, g):
-    img, fy, fx = res
+def _call_bwd_coords(img, fy, fx, g, rows_per_step: int, zeros: bool):
     b, h, w, c = img.shape
     grid = (b, fy.shape[1] // rows_per_step)
-    kern = functools.partial(_bwd_kernel, rows=rows_per_step, h=h, w=w, c=c)
+    kern = functools.partial(
+        _bwd_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
+    )
     img_t = jnp.transpose(img, (0, 3, 1, 2))
     g_t = jnp.transpose(g, (0, 3, 1, 2))
-    dfy, dfx = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -237,17 +374,67 @@ def _vjp_bwd(rows_per_step, res, g):
             jax.ShapeDtypeStruct(fx.shape, fx.dtype),
         ],
     )(img_t, fy, fx, g_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def warp_border_pallas(img, fy, fx, rows_per_step: int = 8):
+    """Bilinear border-mode sample of img [B,H,W,C] at pixel coords
+    fy/fx [B,Ho,W] (unnormalized). Coordinates get gradients; img doesn't
+    (outdoor SSL path: the source image is training data)."""
+    return _call_fwd(img, fy, fx, rows_per_step)
+
+
+def _vjp_fwd(img, fy, fx, rows_per_step):
+    return _call_fwd(img, fy, fx, rows_per_step), (img, fy, fx)
+
+
+def _vjp_bwd(rows_per_step, res, g):
+    img, fy, fx = res
+    dfy, dfx = _call_bwd_coords(img, fy, fx, g, rows_per_step, zeros=False)
     return jnp.zeros_like(img), dfy, dfx
 
 
 warp_border_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def grid_sample_pallas(img, grid_norm, align_corners: bool = True):
-    """Drop-in for ops.warp.grid_sample(padding_mode='border') on TPU.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def warp_sample_pallas(img, fy, fx, zeros: bool = False,
+                       rows_per_step: int = 8):
+    """Bilinear sample with FULL gradients (image + coordinates).
+
+    zeros=False: border padding; zeros=True: torch zeros padding
+    (out-of-image corners contribute 0, with bilinear edge falloff).
+    The image cotangent runs as a banded one-hot-matmul scatter kernel
+    (_bwd_img_kernel) — use this wherever the sampled tensor carries
+    gradients (indoor depth_ref warps, rectified-frame warps)."""
+    return _call_fwd(img, fy, fx, rows_per_step, zeros=zeros)
+
+
+def _vjp_full_fwd(img, fy, fx, zeros, rows_per_step):
+    return _call_fwd(img, fy, fx, rows_per_step, zeros=zeros), (img, fy, fx)
+
+
+def _vjp_full_bwd(zeros, rows_per_step, res, g):
+    img, fy, fx = res
+    dfy, dfx = _call_bwd_coords(img, fy, fx, g, rows_per_step, zeros=zeros)
+    dimg = _call_bwd_img(
+        fy, fx, g, img.shape, img.dtype, rows_per_step, zeros=zeros
+    )
+    return dimg, dfy, dfx
+
+
+warp_sample_pallas.defvjp(_vjp_full_fwd, _vjp_full_bwd)
+
+
+def grid_sample_pallas(img, grid_norm, align_corners: bool = True,
+                       padding_mode: str = "border",
+                       image_grad: bool = False):
+    """Drop-in for ops.warp.grid_sample on TPU (border or zeros padding).
 
     grid_norm: [B,Ho,Wo,2] normalized (x,y) in [-1,1]; Wo must be a
-    multiple of 128 and H a multiple of 8.
+    multiple of 128 and H a multiple of 8. With image_grad=True (or
+    zeros padding) the full-gradient kernel is used; otherwise the
+    cheaper coords-only VJP (the image cotangent is dropped).
     """
     b, h, w, c = img.shape
     gx = grid_norm[..., 0]
@@ -258,4 +445,7 @@ def grid_sample_pallas(img, grid_norm, align_corners: bool = True):
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
+    zeros = padding_mode == "zeros"
+    if image_grad or zeros:
+        return warp_sample_pallas(img, fy, fx, zeros, 8)
     return warp_border_pallas(img, fy, fx, 8)

@@ -58,11 +58,16 @@ def _gather_quads(img, y0, x0):
     )
 
 
-def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = True):
+def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = True,
+                use_pallas: bool = False):
     """Bilinear sampling of [B,H,W,C] at normalized coords [B,Ho,Wo,2].
 
     Grid (x, y) in [-1, 1]; matches torch semantics for both
     ``padding_mode`` in {'border','zeros'} and both align_corners modes.
+
+    use_pallas: route through the banded TPU kernel (full gradients,
+    both padding modes) when the shapes qualify — the caller gates on
+    device/backend; an unused image cotangent is DCE'd by XLA.
 
     Border mode: coordinates are edge-clamped *before* the corner split, so
     the four corners of each sample form a contiguous 2x2 window and the
@@ -73,6 +78,17 @@ def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = T
     """
     b, h, w, c = img.shape
     _, oh, ow, _ = grid.shape
+    if (
+        use_pallas
+        and (oh, ow) == (h, w)
+        and w % 128 == 0
+        and h % 8 == 0
+    ):
+        from sfmnext_tpu.ops.pallas.warp_kernel import grid_sample_pallas
+
+        return grid_sample_pallas(
+            img, grid, align_corners, padding_mode, image_grad=True
+        )
     fx, fy = _unnormalize(grid.reshape(b, -1, 2), h, w, align_corners)
 
     if padding_mode == "border":

@@ -137,13 +137,21 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
 
         cam_points = geometry.backproject_depth(depth, inv_K)
         pix = geometry.project_3d(cam_points, K, T, h, w)
+        # banded Pallas kernel with full gradients (rectified refs and
+        # depth_refs carry parameter gradients, so the image cotangent
+        # runs through the scatter kernel); XLA fallback off-TPU
+        up = opt.use_pallas and train and jax.default_backend() == "tpu"
         warped_colors.append(
-            grid_sample(refs[i], pix, padding_mode="border", align_corners=True)
+            grid_sample(
+                refs[i], pix, padding_mode="border", align_corners=True,
+                use_pallas=up,
+            )
         )
         if need_geo:
             pred_deps.append(
                 grid_sample(
-                    depth_refs[i], pix, padding_mode="border", align_corners=True
+                    depth_refs[i], pix, padding_mode="border",
+                    align_corners=True, use_pallas=up,
                 )
             )
             com_deps.append(geometry.project_depth(cam_points, K, T, h, w))

@@ -138,3 +138,40 @@ def test_xwindow_assumption_at_flagship_resolution():
         f"horizontal displacement {worst:.1f} px exceeds the Pallas "
         f"x-window guarantee ({(XWIN - LANES) // 2 - 2}); raise XWIN"
     )
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_pallas_full_grad_matches_xla(padding):
+    """warp_sample_pallas: forward + image AND coordinate gradients vs
+    the XLA grid_sample, both padding modes (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sfmnext_tpu.ops.pallas.warp_kernel import grid_sample_pallas
+
+    b, h, w, c = 1, 16, 128, 2
+    img = jnp.asarray(np.random.RandomState(5).rand(b, h, w, c), jnp.float32)
+    grid = _near_identity_grid(b, h, w, max_dx_px=12, max_dy_px=3, seed=6)
+    # push some samples out of the image so zeros mode is exercised
+    grid = grid * 1.08
+
+    def loss_x(im, g):
+        return (grid_sample(im, g, padding, True) ** 2).mean()
+
+    def loss_p(im, g):
+        return (
+            grid_sample_pallas(im, g, True, padding, image_grad=True) ** 2
+        ).mean()
+
+    fx_val = loss_x(img, grid)
+    gx_im, gx_gr = jax.grad(loss_x, argnums=(0, 1))(img, grid)
+    with pltpu.force_tpu_interpret_mode():
+        fp_val = loss_p(img, grid)
+        gp_im, gp_gr = jax.grad(loss_p, argnums=(0, 1))(img, grid)
+
+    np.testing.assert_allclose(float(fp_val), float(fx_val), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gp_im), np.asarray(gx_im), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_gr), np.asarray(gx_gr), atol=1e-5
+    )
