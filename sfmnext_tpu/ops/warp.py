@@ -234,3 +234,36 @@ def inverse_rotation_warp(img, rot, intrinsics, padding_mode: str = "zeros"):
     sy = pix[..., 1] / (h - 1)
     coords = jnp.stack([(sx - 0.5) * 2.0, (sy - 0.5) * 2.0], axis=-1)
     return grid_sample(img, coords, padding_mode=padding_mode, align_corners=True)
+
+
+def coords_grid(batch: int, ht: int, wd: int, dtype=jnp.float32):
+    """[B,H,W,2] (x,y) pixel-coordinate grid (RAFT helper).
+
+    Reference layers.py:552-555 (NCHW there; NHWC here, last dim (x,y)).
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(ht, dtype=dtype), jnp.arange(wd, dtype=dtype),
+        indexing="ij",
+    )
+    grid = jnp.stack([xs, ys], axis=-1)  # [H,W,2] with (x,y) order
+    return jnp.broadcast_to(grid[None], (batch, ht, wd, 2))
+
+
+def bilinear_sampler(img, coords, mask: bool = False):
+    """grid_sample wrapper over *pixel* coordinates (RAFT helper).
+
+    Reference layers.py:557-571: normalizes pixel coords to [-1,1]
+    (align_corners=True, zeros padding) and optionally returns the
+    in-bounds mask. img [B,H,W,C]; coords [B,Ho,Wo,2] as (x,y) pixels.
+    """
+    b, h, w, _ = img.shape
+    xgrid = 2.0 * coords[..., 0] / (w - 1) - 1.0
+    ygrid = 2.0 * coords[..., 1] / (h - 1) - 1.0
+    grid = jnp.stack([xgrid, ygrid], axis=-1)
+    out = grid_sample(img, grid, padding_mode="zeros", align_corners=True)
+    if mask:
+        m = (
+            (xgrid > -1) & (ygrid > -1) & (xgrid < 1) & (ygrid < 1)
+        ).astype(img.dtype)
+        return out, m
+    return out

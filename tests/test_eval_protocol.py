@@ -108,3 +108,46 @@ def test_duplicate_velodyne_points_keep_min_depth(tmp_path):
     depth = generate_depth_map(str(calib), str(velo), cam=2)
     vals = depth[depth > 0]
     np.testing.assert_allclose(vals, [6.0], rtol=1e-5)
+
+
+def test_coords_grid_and_bilinear_sampler():
+    """RAFT helpers vs reference semantics (layers.py:552-571)."""
+    import jax.numpy as jnp
+
+    from sfmnext_tpu.ops.warp import bilinear_sampler, coords_grid, grid_sample
+
+    b, h, w, c = 2, 8, 12, 3
+    img = jnp.asarray(np.random.RandomState(0).rand(b, h, w, c), jnp.float32)
+    grid = coords_grid(b, h, w)
+    assert grid.shape == (b, h, w, 2)
+    # identity coords reproduce the image; mask is interior-true
+    out, mask = bilinear_sampler(img, grid, mask=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    assert float(mask[0, 4, 6]) == 1.0 and float(mask[0, 0, 0]) == 0.0
+    # shifted coords match grid_sample zeros/align_corners=True
+    shifted = grid + 1.5
+    got = bilinear_sampler(img, shifted)
+    xg = 2 * shifted[..., 0] / (w - 1) - 1
+    yg = 2 * shifted[..., 1] / (h - 1) - 1
+    expect = grid_sample(
+        img, jnp.stack([xg, yg], -1), "zeros", True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-6)
+
+
+def test_pretrained_model_cache(tmp_path):
+    """download_model_if_doesnt_exist: cached models short-circuit, unknown
+    names raise (reference utils.py:53-117; offline-safe behavior)."""
+    import pytest as _pytest
+
+    from sfmnext_tpu.utils.pretrained import download_model_if_doesnt_exist
+
+    mdir = tmp_path / "models" / "mono_640x192"
+    mdir.mkdir(parents=True)
+    (mdir / "encoder.pth").write_bytes(b"x")
+    got = download_model_if_doesnt_exist(
+        "mono_640x192", models_dir=str(tmp_path / "models")
+    )
+    assert got == str(mdir)
+    with _pytest.raises(KeyError):
+        download_model_if_doesnt_exist("nope", models_dir=str(tmp_path))
