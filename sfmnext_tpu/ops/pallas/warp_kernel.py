@@ -263,12 +263,16 @@ def _bwd_img_kernel(fy_ref, fx_ref, g_ref, dimg_ref, *, rows, h, w, c,
             z = jnp.where(xiota == xlw[:, None], (1 - wxs)[:, None], z)
             z = jnp.where(xiota == (xlw + 1)[:, None], wxs[:, None], z)
             g = g_row[sl]
+            # one fused matmul: both corner rows ride a K=2*LANES
+            # contraction ([band,256] @ [256,xwin]) instead of two
+            # half-K matmuls — the scatter is small-matmul latency-bound
+            sel = jnp.concatenate([sel0, sel1], axis=1)
+            m = jnp.concatenate(
+                [(g * (1 - wys))[:, None] * z, (g * wys)[:, None] * z],
+                axis=0,
+            )
             contrib = jax.lax.dot_general(
-                sel0, (g * (1 - wys))[:, None] * z,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                sel1, (g * wys)[:, None] * z,
+                sel, m,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
