@@ -136,7 +136,8 @@ def silog_loss(pred, target, mask=None, variance_focus: float = 0.85):
 
 
 def compute_pairwise_loss(tgt_img, ref_img, tgt_depth, ref_depth, pose,
-                          intrinsics, ssim_weight: float = 0.85):
+                          intrinsics, ssim_weight: float = 0.85,
+                          use_pallas: bool = False):
     """SC-Depth pairwise photometric/geometric terms (layers.py:343-371).
 
     Returns (diff_img, diff_color, diff_depth, valid_mask), each [B,H,W,1].
@@ -144,7 +145,8 @@ def compute_pairwise_loss(tgt_img, ref_img, tgt_depth, ref_depth, pose,
     from sfmnext_tpu.ops.warp import inverse_warp
 
     warped, projected_depth, computed_depth = inverse_warp(
-        ref_img, tgt_depth, ref_depth, pose, intrinsics, padding_mode="zeros"
+        ref_img, tgt_depth, ref_depth, pose, intrinsics,
+        padding_mode="zeros", use_pallas=use_pallas,
     )
     diff_depth = jnp.abs(computed_depth - projected_depth) / (
         computed_depth + projected_depth
@@ -175,7 +177,8 @@ def mean_on_mask(diff, valid_mask, min_count: int = 100):
 
 def photo_and_geometry_loss(tgt_img, ref_imgs, tgt_depth, ref_depths,
                             intrinsics, poses, poses_inv,
-                            ssim_weight: float = 0.85):
+                            ssim_weight: float = 0.85,
+                            use_pallas: bool = False):
     """SC-Depth bidirectional loss (layers.py:302-340): both warp directions
     per reference frame, argmin frame selection by color diff."""
     diff_imgs, diff_colors, diff_depths, valids = [], [], [], []
@@ -187,7 +190,8 @@ def photo_and_geometry_loss(tgt_img, ref_imgs, tgt_depth, ref_depths,
             (ref_img, tgt_img, ref_depth, tgt_depth, pose_inv),
         ):
             di, dc, dd, vm = compute_pairwise_loss(
-                a_img, b_img, a_d, b_d, p, intrinsics, ssim_weight
+                a_img, b_img, a_d, b_d, p, intrinsics, ssim_weight,
+                use_pallas=use_pallas,
             )
             diff_imgs.append(di)
             diff_colors.append(dc)

@@ -183,7 +183,8 @@ def _intrinsics_3x3_points(depth, K3):
     return depth.reshape(b, 1, h * w) * rays
 
 
-def inverse_warp(img, depth, ref_depth, pose, intrinsics, padding_mode: str = "zeros"):
+def inverse_warp(img, depth, ref_depth, pose, intrinsics, padding_mode: str = "zeros",
+                 use_pallas: bool = False):
     """SC-Depth bidirectional warp. Reference layers.py:382-419.
 
     Args:
@@ -213,12 +214,19 @@ def inverse_warp(img, depth, ref_depth, pose, intrinsics, padding_mode: str = "z
     coords = jnp.stack([(sx - 0.5) * 2.0, (sy - 0.5) * 2.0], axis=-1)
 
     computed_depth = cam_points[:, 2].reshape(b, h, w, 1)
-    projected_img = grid_sample(img, coords, padding_mode=padding_mode, align_corners=False)
-    projected_depth = grid_sample(ref_depth, coords, padding_mode=padding_mode, align_corners=False)
+    projected_img = grid_sample(
+        img, coords, padding_mode=padding_mode, align_corners=False,
+        use_pallas=use_pallas,
+    )
+    projected_depth = grid_sample(
+        ref_depth, coords, padding_mode=padding_mode, align_corners=False,
+        use_pallas=use_pallas,
+    )
     return projected_img, projected_depth, computed_depth
 
 
-def inverse_rotation_warp(img, rot, intrinsics, padding_mode: str = "zeros"):
+def inverse_rotation_warp(img, rot, intrinsics, padding_mode: str = "zeros",
+                          use_pallas: bool = False):
     """Rotation-only rewarp (RectifyNet losses). Reference layers.py:460-479."""
     b, h, w, _ = img.shape
     R = geometry.euler_to_mat(rot)  # [B,3,3]
@@ -233,7 +241,10 @@ def inverse_rotation_warp(img, rot, intrinsics, padding_mode: str = "zeros"):
     sx = pix[..., 0] / (w - 1)
     sy = pix[..., 1] / (h - 1)
     coords = jnp.stack([(sx - 0.5) * 2.0, (sy - 0.5) * 2.0], axis=-1)
-    return grid_sample(img, coords, padding_mode=padding_mode, align_corners=True)
+    return grid_sample(
+        img, coords, padding_mode=padding_mode, align_corners=True,
+        use_pallas=use_pallas,
+    )
 
 
 def coords_grid(batch: int, ht: int, wd: int, dtype=jnp.float32):

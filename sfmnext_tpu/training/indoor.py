@@ -36,7 +36,8 @@ from sfmnext_tpu.training.builder import ModelBundle
 from sfmnext_tpu.training.pipeline import _apply, predict_poses
 
 
-def rectify_references(models, params, batch_stats, tgt, refs, K3, train):
+def rectify_references(models, params, batch_stats, tgt, refs, K3, train,
+                       use_pallas: bool = False):
     """RectifyNet pre-warp + consistency/triplet losses (ref :877-924)."""
     stats = {"rectify": batch_stats.get("rectify")}
 
@@ -50,7 +51,7 @@ def rectify_references(models, params, batch_stats, tgt, refs, K3, train):
     warped, rc_terms, rt_terms = [], [], []
     for ref in refs:
         rot1 = rect(tgt, ref)
-        ref_w = inverse_rotation_warp(ref, rot1, K3)
+        ref_w = inverse_rotation_warp(ref, rot1, K3, use_pallas=use_pallas)
         rot2 = rect(tgt, ref_w)
         rot3 = rect(jax.lax.stop_gradient(ref_w), ref)
         rc_terms.append(jnp.abs(rot3 - jax.lax.stop_gradient(rot1)).mean())
@@ -97,12 +98,18 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
 
     refs = [batch["color"][:, i] for i in range(1, len(frame_ids))]
 
+    # banded Pallas kernel with full gradients for every indoor warp
+    # (rectified refs and depth_refs carry parameter gradients, so image
+    # cotangents run through the scatter kernel); XLA fallback off-TPU
+    up = opt.use_pallas and train and jax.default_backend() == "tpu"
+
     # 2. rectification
     loss_rc = loss_rt = None
     if opt.use_rectify_net and models.rectify is not None:
         K3 = batch["K3x3"] if "K3x3" in batch else batch["K"][:, :3, :3]
         refs, loss_rc, loss_rt, bs_rect = rectify_references(
-            models, params, batch_stats, batch["color"][:, 0], refs, K3, train
+            models, params, batch_stats, batch["color"][:, 0], refs, K3,
+            train, use_pallas=up,
         )
         new_batch_stats["rectify"] = bs_rect
 
@@ -137,10 +144,6 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
 
         cam_points = geometry.backproject_depth(depth, inv_K)
         pix = geometry.project_3d(cam_points, K, T, h, w)
-        # banded Pallas kernel with full gradients (rectified refs and
-        # depth_refs carry parameter gradients, so the image cotangent
-        # runs through the scatter kernel); XLA fallback off-TPU
-        up = opt.use_pallas and train and jax.default_backend() == "tpu"
         warped_colors.append(
             grid_sample(
                 refs[i], pix, padding_mode="border", align_corners=True,
