@@ -120,6 +120,9 @@ class Options:
     post_process: bool = False
 
     # --- TPU-native additions (not in the reference) ---
+    eval_batch_size: int = 1  # eval forward batch; 1 = reference protocol
+    # (batch-1 loader, evaluate_depth_config.py:90); N>1 pads the last
+    # batch and trims, metrics unchanged, ~Nx fewer dispatches
     compute_dtype: str = "bfloat16"  # model compute dtype on TPU
     loss_dtype: str = "auto"  # photometric-stack dtype: auto|float32|bfloat16
                               # (auto follows compute_dtype)
@@ -154,6 +157,11 @@ class Options:
 
     def validate(self):
         assert self.frame_ids[0] == 0, "frame_ids must start with 0"
+        if self.weights_init not in ("pretrained", "scratch"):
+            raise ValueError(
+                f"weights_init must be 'pretrained' or 'scratch', "
+                f"got {self.weights_init!r}"
+            )
         h2, w2 = self.height // 2, self.width // 2
         n_tokens = (h2 // self.patch_size) * (w2 // self.patch_size)
         if n_tokens > 500:
@@ -209,8 +217,12 @@ def parse_options(argv: Optional[Sequence[str]] = None) -> Options:
     """
     argv = list(argv) if argv is not None else None
     if argv:
+        # bare positional argfiles: .txt and .config (the reference ships
+        # both extensions, e.g. args_kitti_320x1024_evaluate.config)
         argv = [
-            ("@" + a) if (not a.startswith("-") and a.endswith(".txt")) else a
+            ("@" + a)
+            if (not a.startswith("-") and a.endswith((".txt", ".config")))
+            else a
             for a in argv
         ]
     ns, unknown = _build_parser().parse_known_args(argv)

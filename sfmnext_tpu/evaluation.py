@@ -82,7 +82,14 @@ def load_eval_variables(opt: Options):
 
 
 def predict_depths(opt: Options, models, variables, loader, post_process: bool):
-    """Jitted batch-1 forward over the loader; returns [N,h,w] depths."""
+    """Jitted forward over the loader; returns [N,h,w] depths.
+
+    Protocol default is batch 1 (evaluate_depth_config.py:90); TPU-first
+    ``--eval_batch_size N`` amortizes the per-dispatch tunnel latency —
+    the last short batch is padded to the compiled shape and trimmed, so
+    the metrics are identical to the batch-1 run. With --post_process the
+    flipped copies ride the same dispatch (batch 2N).
+    """
 
     @jax.jit
     def infer(images):
@@ -96,17 +103,24 @@ def predict_depths(opt: Options, models, variables, loader, post_process: bool):
         out = models.depth.apply({"params": variables["params"]["depth"]}, feats)
         return out["disp0"][..., 0]
 
+    bs = max(1, getattr(opt, "eval_batch_size", 1))
     preds = []
     for batch in loader:
-        img = jnp.asarray(batch["color"][:, 0])  # [1,H,W,3]
+        img = np.asarray(batch["color"][:, 0])  # [n<=bs,H,W,3]
+        n = img.shape[0]
+        if n < bs:  # pad the final short batch to the compiled shape
+            img = np.concatenate(
+                [img, np.repeat(img[-1:], bs - n, axis=0)], axis=0
+            )
+        img = jnp.asarray(img)
         if post_process:
             both = jnp.concatenate([img, img[:, :, ::-1]], 0)
             d = np.asarray(infer(both))
-            d = M.flip_postprocess(d[:1], d[1:, :, ::-1])
+            d = M.flip_postprocess(d[: img.shape[0]], d[img.shape[0]:, :, ::-1])
         else:
             d = np.asarray(infer(img))
-        preds.append(d[0])
-    return np.stack(preds, 0)
+        preds.append(d[:n])
+    return np.concatenate(preds, 0)
 
 
 def evaluate_predictions(
@@ -218,7 +232,8 @@ def evaluate(opt: Options) -> dict:
         dataset = make_dataset(ds_opt, files, is_train=False)
         dataset.load_depth = False
         loader = PrefetchLoader(
-            dataset, 1, shuffle=False, num_workers=opt.num_workers, drop_last=False
+            dataset, max(1, opt.eval_batch_size), shuffle=False,
+            num_workers=opt.num_workers, drop_last=False,
         )
 
         models, variables = load_eval_variables(opt)

@@ -78,8 +78,12 @@ def garg_mask(gt, min_d, max_d):
 
 def make_finetune_step(opt: Options, models: ModelBundle, tx,
                        min_depth: float = 1e-3, max_depth: float = 80.0,
-                       rescale_half_batch: bool = True):
-    """Jitted supervised step: (state, batch, rng) -> (state, metrics)."""
+                       rescale_half_batch: bool = True, mesh=None):
+    """Jitted supervised step: (state, batch, rng) -> (state, metrics).
+
+    With ``mesh``, the batch is sharded over the 'data' axis and state is
+    replicated — the TPU-native equivalent of the reference wrapping the
+    model in DataParallel (finetune/train_ft_SQLdepth.py:96)."""
 
     def forward_depth(params, batch_stats, images, rng):
         from sfmnext_tpu.training.pipeline import _apply
@@ -135,7 +139,18 @@ def make_finetune_step(opt: Options, models: ModelBundle, tx,
         )
         return new_state, {"loss": loss}
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from sfmnext_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, dat, rep),
+        out_shardings=(rep, None),
+        donate_argnums=(0,),
+    )
 
 
 def predict_tta(infer_fn, images):
@@ -152,29 +167,72 @@ class FinetuneTrainer:
                  lr: float = 1.6e-4, weight_decay: float = 0.1,
                  epochs: int = 25):
         self.opt = opt.validate()
+        from sfmnext_tpu.parallel.mesh import auto_mesh_size, make_mesh
+
+        self.mesh = make_mesh(opt.mesh_shape or auto_mesh_size(opt.batch_size))
         self.models = build_models(opt, train=True)
         self.models_eval = build_models(opt, train=False)
         variables = init_params(opt, self.models, jax.random.PRNGKey(opt.seed))
+        variables = self._warm_start(variables)
         total_steps = max(1, len(train_loader)) * epochs
         self.tx = make_finetune_optimizer(lr, total_steps, weight_decay)
         self.state = TrainState.create(variables, self.tx)
-        self.step_fn = make_finetune_step(opt, self.models, self.tx)
+        self.step_fn = make_finetune_step(
+            opt, self.models, self.tx, max_depth=opt.max_depth, mesh=self.mesh
+        )
         self.train_loader = train_loader
         self.test_loader = test_loader
         self.epochs = epochs
         self.best_abs_rel = np.inf
 
+    def _warm_start(self, variables):
+        """Load the SSL-trained encoder+depth the finetune starts from
+        (reference SQLdepth.py:32-45 via --load_pt_folder, and
+        inc_kitti.txt's --load_weights_folder)."""
+        folder = None
+        if self.opt.load_pretrained_model and self.opt.load_pt_folder:
+            folder = self.opt.load_pt_folder
+        elif self.opt.load_weights_folder:
+            folder = self.opt.load_weights_folder
+        if not folder:
+            return variables
+        enc_pth = os.path.join(folder, "encoder.pth")
+        if os.path.exists(enc_pth):
+            from sfmnext_tpu.utils import torch_port as tp
+
+            sd = tp.load_state_dict(enc_pth)
+            p, s = tp.convert_encoder_pth(sd, self.opt)
+            variables["params"]["encoder"] = p
+            variables["batch_stats"]["encoder"] = s
+            dep_pth = os.path.join(folder, "depth.pth")
+            if os.path.exists(dep_pth):
+                variables["params"]["depth"] = tp.convert_sql_decoder(
+                    tp.load_state_dict(dep_pth)
+                )
+            print(f"-> finetune warm start from {folder} (.pth)")
+            return variables
+        from sfmnext_tpu.utils import checkpoint as ckpt
+
+        variables = ckpt.load_modules(folder, variables, ("encoder", "depth"))
+        print(f"-> finetune warm start from {folder} (orbax)")
+        return variables
+
     def train(self, log_every: int = 50):
+        from sfmnext_tpu.parallel.mesh import shard_batch
+
         rng = jax.random.PRNGKey(self.opt.seed)
         step = 0
         for epoch in range(self.epochs):
             for batch in self.train_loader:
                 if not np.all(np.asarray(batch.get("has_valid_depth", True))):
                     continue
-                jb = {
-                    "image": jnp.asarray(batch["image"]),
-                    "depth": jnp.asarray(batch["depth"]),
-                }
+                jb = shard_batch(
+                    {
+                        "image": jnp.asarray(batch["image"]),
+                        "depth": jnp.asarray(batch["depth"]),
+                    },
+                    self.mesh,
+                )
                 self.state, metrics = self.step_fn(self.state, jb, rng)
                 if step % log_every == 0:
                     print(
@@ -182,6 +240,25 @@ class FinetuneTrainer:
                         f"silog={float(metrics['loss']):.4f}", flush=True,
                     )
                 step += 1
+            # per-epoch validate + best-abs_rel checkpoint (reference
+            # train_ft_SQLdepth.py:295-316 validates every N steps; one
+            # eval pass per epoch keeps eval off the train hot path)
+            if self.test_loader is not None:
+                m = self.validate(max_depth=self.opt.max_depth)
+                print(f"ft epoch {epoch} val: {m}", flush=True)
+                if m["abs_rel"] < self.best_abs_rel:
+                    self.best_abs_rel = m["abs_rel"]
+                    self.save("best")
+                self.save("latest")
+
+    def save(self, tag: str):
+        from sfmnext_tpu.utils import checkpoint as ckpt
+
+        folder = os.path.join(
+            self.opt.log_dir, self.opt.model_name, "finetune", f"weights_{tag}"
+        )
+        ckpt.save_checkpoint(folder, self.state, self.opt)
+        print(f"-> saved finetune checkpoint {folder}", flush=True)
 
     def validate(self, min_depth=1e-3, max_depth=80.0):
         """Flip-TTA eval; 9-metric dict (ref evaluate_metric_depth.py)."""

@@ -76,6 +76,11 @@ class DenseNet(nn.Module):
                     growth, self.train, self.dtype,
                     name=f"block{bi}_layer{li}",
                 )(y)
+            if bi == len(blocks) - 1:
+                # final norm5 BN+ReLU (torchvision densenet.features[-1];
+                # the deepest tap is post-norm, not the raw concat)
+                y = BatchNorm(not self.train, dtype=self.dtype, name="norm5")(y)
+                y = nn.relu(y)
             feats.append(y)
             if bi < len(blocks) - 1:
                 y = BatchNorm(

@@ -5,8 +5,17 @@ via ``timm.create_model(name, features_only=True)``
 (/root/reference/networks/Unet.py:114-117, names at :316-383). This is
 the torchvision/timm VGG topology: plain 3x3 conv stacks with 2x2
 max-pool stage transitions; '_bn' variants insert BatchNorm after every
-conv. Feature taps are the post-pool activations (strides 2/4/8/16/32),
-matching timm's 5-tap features_only convention for vgg.
+conv.
+
+Deliberate deviation from timm: feature taps here are the POST-pool
+activations (strides 2/4/8/16/32). timm's vgg features_only taps the
+pre-pool conv activations (reductions 1-16), which would make the U-Net
+output full resolution — but this repo's SQL-decoder contract is a
+half-resolution feature map (models/sql_decoder.py), and a full-res map
+overflows the 500-token positional table at every published resolution
+(320x1024/p20 -> 816 tokens), i.e. the reference's vgg path could never
+actually run there either (networks/depth_decoder_QTR.py:13). Post-pool
+taps harmonize vgg with every other backbone family's half-res pyramid.
 """
 
 from __future__ import annotations

@@ -59,6 +59,29 @@ def reprojection_losses_stacked(
     return ssim_weight * ssim_err + (1.0 - ssim_weight) * l1
 
 
+def _tiebreak_noise(rng, shape, dtype):
+    """1e-5 gaussian tie-break (trainer.py:516-517), TPU-cheap.
+
+    Two deviations from a naive jax.random.normal draw, both free for the
+    purpose (iid-per-(pixel,channel) noise to break exact ties between
+    identity and reprojection losses):
+      - the draw is shared across the batch axis ([1,H,W,F] broadcast) —
+        the per-pixel min never mixes batch elements, so cross-batch
+        correlation is unobservable; cuts the generated bits by B;
+      - bits come from the 'unsafe_rbg' generator (TPU hardware RNG path)
+        instead of threefry — the r2 profile showed the threefry draw at
+        ~8.5 ms/step at 320x1024.
+    """
+    noise_shape = (1,) + tuple(shape[1:])
+    try:
+        kd = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+        kd4 = jnp.concatenate([kd, kd])[:4]
+        key = jax.random.wrap_key_data(kd4, impl="unsafe_rbg")
+    except (AttributeError, TypeError, ValueError):  # older jax fallback
+        key = rng
+    return jax.random.normal(key, noise_shape, dtype) * 1e-5
+
+
 def min_reprojection_loss(
     reproj_losses,
     identity_losses=None,
@@ -89,7 +112,7 @@ def min_reprojection_loss(
     if avg_reprojection:
         ident = ident.mean(axis=-1, keepdims=True)
     if rng is not None:
-        ident = ident + jax.random.normal(rng, ident.shape, ident.dtype) * 1e-5
+        ident = ident + _tiebreak_noise(rng, ident.shape, ident.dtype)
 
     combined = jnp.concatenate([ident, reproj], axis=-1)
     to_optimise = combined.min(axis=-1)
@@ -98,13 +121,19 @@ def min_reprojection_loss(
     return to_optimise, automask
 
 
-def edge_aware_smoothness(disp, img):
+def edge_aware_smoothness(disp, img, compute_dtype=None):
     """Edge-aware first-order smoothness (scalar). Reference layers.py:267-280.
 
     Args:
       disp: [B,H,W,1] disparity/depth map (caller mean-normalizes).
       img:  [B,H,W,3] guidance image.
+      compute_dtype: optional dtype for the gradient/exp math (bf16 on the
+        TPU hot path — neighbor differences are exact under Sterbenz, the
+        error is the 2^-8 input rounding; means accumulate f32).
     """
+    if compute_dtype is not None:
+        disp = disp.astype(compute_dtype)
+        img = img.astype(compute_dtype)
     grad_disp_x = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
     grad_disp_y = jnp.abs(disp[:, :-1] - disp[:, 1:])
 
@@ -113,7 +142,10 @@ def edge_aware_smoothness(disp, img):
 
     grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
     grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
-    return grad_disp_x.mean() + grad_disp_y.mean()
+    return (
+        grad_disp_x.astype(jnp.float32).mean()
+        + grad_disp_y.astype(jnp.float32).mean()
+    )
 
 
 def silog_loss(pred, target, mask=None, variance_focus: float = 0.85):

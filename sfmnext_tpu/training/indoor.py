@@ -113,24 +113,34 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
         )
         new_batch_stats["rectify"] = bs_rect
 
-    # 3. poses (pairs, posecnn; temporal ordering as outdoor)
-    poses = predict_poses(models, params, batch, frame_ids)
+    # 3. poses (pairs, posecnn; temporal ordering as outdoor). The indoor
+    # pose net sees RAW target color and the (rectified when rectify is
+    # on) reference frames — NOT color_aug (trainer_indoor.py:439-444).
+    pose_frames = jnp.stack([batch["color"][:, 0], *refs], axis=1)
+    poses = predict_poses(
+        models, params, batch, frame_ids, pose_frames=pose_frames
+    )
 
     inv_depth = 1.0 / depth
     mean_inv_depth = inv_depth.mean(axis=(1, 2, 3))
 
     need_geo = opt.use_photo_geo_loss or opt.use_improved_mini_reproj_loss
 
-    # 4. per-ref depth passes (ref :371-377) on the (rectified) color frames
+    # 4. per-ref depth passes (ref :371-377) on the (rectified) color frames.
+    # Encoder BN running stats thread through these passes sequentially —
+    # the reference updates them on every train-mode forward
+    # (trainer_indoor.py:371-377), not just the target-frame pass.
     depth_refs = []
     if need_geo:
         for i, ref in enumerate(refs):
-            d_half, _ = _depth_forward(
-                models, params, batch_stats, ref, rngs[1 + i], train
+            d_half, bs_enc = _depth_forward(
+                models, params,
+                {**batch_stats, "encoder": bs_enc}, ref, rngs[1 + i], train,
             )
             depth_refs.append(
                 resize_bilinear(d_half, (h, w), align_corners=False)
             )
+        new_batch_stats["encoder"] = bs_enc
 
     # 5. warps
     K, inv_K = batch["K"], batch["inv_K"]
@@ -163,7 +173,10 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
     metrics: Dict[str, Any] = {}
     total = 0.0
 
-    if opt.use_photo_geo_loss:
+    # loss dispatch mirrors trainer_indoor.py:380-416: inside the
+    # photo_geo branch, --use_mini_reprojection_loss overrides back to the
+    # plain monodepth2 min-reprojection loss (:384-385)
+    if opt.use_photo_geo_loss and not opt.use_mini_reprojection_loss:
         photo, geo = photo_and_geometry_loss_imp(
             target,
             [batch["color"][:, 1 + i] for i in range(len(refs))],
@@ -178,7 +191,7 @@ def forward_indoor(models: ModelBundle, params, batch_stats, batch, rng,
         metrics.update(
             {"loss/photo": photo, "loss/geo": geo, "loss/smooth": smooth}
         )
-    elif opt.use_improved_mini_reproj_loss:
+    elif opt.use_improved_mini_reproj_loss and not opt.use_photo_geo_loss:
         total, parts = compute_losses_with_occ(
             target, batch, warped_colors, pred_deps, depth, depth_half,
             frame_ids, rngs[3] if train else None, opt,

@@ -51,6 +51,7 @@ def predict_poses(
     batch_stats=None,
     opt: Options | None = None,
     shared_feats: Dict[Any, jnp.ndarray] | None = None,
+    pose_frames=None,
 ) -> Dict[Any, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Pose nets over frames (trainer.py:301-361).
 
@@ -61,6 +62,10 @@ def predict_poses(
     'all' mode: a single forward over every temporal frame predicting all
       poses at once (:339-360; note the reference applies no inversion for
       past frames in this mode — kept).
+
+    ``pose_frames`` overrides the net's image inputs ([B,F,H,W,3] aligned
+    with frame_ids) — the indoor trainer feeds raw/rectified color instead
+    of color_aug (trainer_indoor.py:439-444).
     Returns {frame_id: (axisangle [B,3], translation [B,3], invert flag)}.
     """
     pairs_mode = opt is None or opt.num_pose_frames == 2
@@ -68,7 +73,9 @@ def predict_poses(
         "separate_resnet" if models.pose_encoder is not None else "posecnn"
     )
     out = {}
-    color_aug = batch["color_aug"]  # [B,F,H,W,3]
+    color_aug = (
+        pose_frames if pose_frames is not None else batch["color_aug"]
+    )  # [B,F,H,W,3]
     temporal = [f_i for f_i in frame_ids if f_i != "s"]
 
     def run_pose_encoder(stacked):
@@ -337,7 +344,9 @@ def forward(
     # 5. edge-aware smoothness on mean-normalized depth (trainer.py:533-542)
     mean_d = depth.mean(axis=(1, 2, 3), keepdims=True)
     norm_d = depth / (mean_d + 1e-7)
-    smooth = L.edge_aware_smoothness(norm_d, target)
+    smooth = L.edge_aware_smoothness(
+        norm_d, target, compute_dtype=None if ldt == jnp.float32 else ldt
+    )
     total = loss + opt.disparity_smoothness * smooth + mask_weight_loss
 
     metrics = {
@@ -371,7 +380,6 @@ def train_depth_metrics(depth, depth_gt, max_eval_depth: float = 80.0):
     mask = valid & crop[None, :, :, None]
 
     # median scaling via masked median (fixed-size sort)
-    m = mask.astype(pred.dtype)
     gt_med = _masked_median(depth_gt, mask)
     pr_med = _masked_median(pred, mask)
     pred = pred * (gt_med / (pr_med + 1e-7))

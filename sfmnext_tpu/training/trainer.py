@@ -100,8 +100,20 @@ class Trainer:
         self.rng, init_rng = jax.random.split(rng)
         variables = init_params(opt, self.models_train, init_rng)
 
+        # ImageNet encoder init (reference resnet_encoder.py:44,57,
+        # base_encoder.py:94, Unet.py:114-117). Skipped when a checkpoint
+        # will overwrite the encoder anyway.
+        if not (opt.load_pretrained_model or opt.load_weights_folder):
+            from sfmnext_tpu.utils.imagenet_init import apply_weights_init
+
+            variables = apply_weights_init(opt, self.models_train, variables)
+
         if opt.load_pretrained_model and opt.load_pt_folder:
             variables = self._warm_start(variables, opt.load_pt_folder)
+        if opt.pretrained_pose:
+            variables = self._load_pose(variables, opt.pose_net_path)
+        if opt.pretrained_rectify:
+            variables = self._load_rectify(variables, opt.pose_net_path)
 
         # data ------------------------------------------------------------
         if train_loader is None:
@@ -164,6 +176,17 @@ class Trainer:
         if opt.load_weights_folder:
             self.load_model(opt.load_weights_folder)
             self.step = int(self.state.step)
+        elif opt.load_adam:
+            if not (opt.load_pretrained_model and opt.load_pt_folder):
+                raise ValueError(
+                    "--load_adam needs --load_pretrained_model with "
+                    "--load_pt_folder (reference trainer_indoor.py:157-166)"
+                )
+            self._load_adam(opt.load_pt_folder)
+        if opt.multi_gpu:
+            # subsumed: the mesh already spans every visible device
+            # (reference options.py:205-207 parses this and never reads it)
+            print(f"-> --multi_gpu: mesh over {self.mesh.devices.size} device(s)")
 
     # -------------------------------------------------------------- warm start
     def _warm_start(self, variables, folder):
@@ -188,6 +211,56 @@ class Trainer:
             return variables
         variables = ckpt.load_modules(folder, variables, ("encoder", "depth"))
         print(f"-> warm-started encoder/depth from {folder} (orbax)")
+        return variables
+
+    def _load_pose(self, variables, folder):
+        """``--pretrained_pose``: warm-start the pose net from
+        ``<pose_net_path>/pose.pth`` (reference trainer.py:100-104, with
+        the "module." prefix strip) or an orbax checkpoint dir."""
+        if not folder:
+            raise ValueError("--pretrained_pose requires --pose_net_path")
+        pose_pth = os.path.join(folder, "pose.pth")
+        if os.path.exists(pose_pth):
+            from sfmnext_tpu.utils import torch_port as tp
+
+            if self.opt.pose_model_type != "posecnn":
+                raise NotImplementedError(
+                    "pose.pth import is defined for PoseCNN only "
+                    "(reference trainer.py:98-104)"
+                )
+            variables = dict(variables)
+            variables["params"] = dict(variables["params"])
+            variables["params"]["pose"] = tp.convert_pose_cnn(
+                tp.load_state_dict(pose_pth)
+            )
+            print(f"-> loaded pretrained pose from {pose_pth}")
+            return variables
+        variables = ckpt.load_modules(
+            folder, variables, ("pose", "pose_encoder")
+        )
+        print(f"-> loaded pretrained pose from {folder} (orbax)")
+        return variables
+
+    def _load_rectify(self, variables, folder):
+        """``--pretrained_rectify``: warm-start RectifyNet from
+        ``<pose_net_path>/rectify.pth`` (reference trainer_indoor.py:101-107)
+        or an orbax checkpoint dir."""
+        if not folder:
+            raise ValueError("--pretrained_rectify requires --pose_net_path")
+        rect_pth = os.path.join(folder, "rectify.pth")
+        if os.path.exists(rect_pth):
+            from sfmnext_tpu.utils import torch_port as tp
+
+            p, s = tp.convert_rectify(tp.load_state_dict(rect_pth))
+            variables = dict(variables)
+            variables["params"] = dict(variables["params"])
+            variables["batch_stats"] = dict(variables["batch_stats"])
+            variables["params"]["rectify"] = p
+            variables["batch_stats"]["rectify"] = s
+            print(f"-> loaded pretrained rectify from {rect_pth}")
+            return variables
+        variables = ckpt.load_modules(folder, variables, ("rectify",))
+        print(f"-> loaded pretrained rectify from {folder} (orbax)")
         return variables
 
     # ------------------------------------------------------------------ train
@@ -309,11 +382,48 @@ class Trainer:
         print(f"-> saved checkpoint {folder}", flush=True)
 
     def load_model(self, folder: Optional[str] = None):
+        """Full resume: params + batch_stats + optimizer state + step.
+
+        The reference's load_model restores adam.pth whenever it is present
+        (trainer.py:680-688); our checkpoints always carry opt_state, so a
+        resumed run continues Adam moments and the LR-schedule count
+        exactly. Restoring against the live state as target keeps the
+        optax pytree structure (namedtuples) intact.
+        """
         folder = folder or self.opt.load_weights_folder
-        restored = ckpt.load_checkpoint(folder)
+        restored = ckpt.load_checkpoint(
+            folder,
+            target_payload={
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+            },
+        )
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
         )
-        print(f"-> loaded checkpoint {folder}", flush=True)
+        print(f"-> loaded checkpoint {folder} (incl. opt_state)", flush=True)
+
+    def _load_adam(self, folder: str):
+        """``--load_adam`` with ``--load_pt_folder`` (indoor warm start,
+        reference trainer_indoor.py:157-166): restore only opt_state."""
+        if os.path.exists(os.path.join(folder, "adam.pth")):
+            raise NotImplementedError(
+                "adam.pth (torch) import is not supported: torch Adam "
+                "state is keyed by parameter order, which has no stable "
+                "mapping onto the optax tree. Resume from an orbax "
+                "checkpoint (load_weights_folder) instead."
+            )
+        restored = ckpt.load_checkpoint(
+            folder,
+            target_payload={
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+            },
+        )
+        self.state = self.state.replace(opt_state=restored["opt_state"])
+        print(f"-> loaded Adam state from {folder}", flush=True)

@@ -1,0 +1,213 @@
+"""ImageNet-pretrained encoder init (``--weights_init pretrained``).
+
+Behavioral reference:
+  - networks/resnet_encoder.py:44,57 — torchvision ImageNet ResNet weights
+    for the depth/pose encoders; :55-61 tiles ``conv1.weight`` across
+    stacked input frames and divides by the frame count.
+  - networks/base_encoder.py:94 — torch.hub ``tf_efficientnet_b5_ap``.
+  - networks/Unet.py:114-117 — timm ``pretrained=True`` backbones.
+  - networks/rectify_net.py:13-15 — pretrained 2-image ResNet-18.
+
+TPU-native deviation: build time never touches the network. Weights are
+raw torch state_dicts in a local directory — ``$SFMNEXT_WEIGHTS`` or
+``<repo>/weights`` — under the canonical file names below; conversion to
+Flax trees goes through :mod:`sfmnext_tpu.utils.torch_port`. A requested
+but absent weights file raises with the expected path (the reference
+silently downloads; we fail loudly per round-2 verdict). For the known
+torchvision/hub models a download is attempted first when the network
+exists. ``--weights_init scratch`` skips all of this.
+
+One further documented deviation: the reference hard-codes pretrained
+init for eff_b5/timm backbones regardless of ``--weights_init``; here the
+flag governs every backbone so offline scratch runs stay possible.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+# torchvision V1 ImageNet checkpoints (what pretrained=True resolved to at
+# the reference's torchvision vintage) + the gen-efficientnet hub release.
+FETCH_URLS = {
+    "resnet18.pth": "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+    "resnet34.pth": "https://download.pytorch.org/models/resnet34-b627a593.pth",
+    "resnet50.pth": "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+    "resnet101.pth": "https://download.pytorch.org/models/resnet101-63fe2227.pth",
+    "resnet152.pth": "https://download.pytorch.org/models/resnet152-394f9c45.pth",
+    "tf_efficientnet_b5_ap.pth": (
+        "https://github.com/rwightman/pytorch-image-models/releases/download/"
+        "v0.1-weights/tf_efficientnet_b5_ap-9e82fae8.pth"
+    ),
+}
+
+
+def weights_dir() -> str:
+    env = os.environ.get("SFMNEXT_WEIGHTS", "")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo, "weights")
+
+
+def weights_path(fname: str) -> str:
+    """Resolve ``fname`` in the weights dir, fetching it when possible.
+
+    Raises FileNotFoundError with the expected location when absent.
+    """
+    wdir = weights_dir()
+    path = os.path.join(wdir, fname)
+    if os.path.exists(path):
+        return path
+    url = FETCH_URLS.get(fname)
+    if url is not None:
+        try:
+            os.makedirs(wdir, exist_ok=True)
+            print(f"-> fetching {url} -> {path}")
+            urllib.request.urlretrieve(url, path + ".part")
+            os.replace(path + ".part", path)
+            return path
+        except OSError:
+            pass
+    raise FileNotFoundError(
+        f"weights_init='pretrained' needs {fname} at {path} "
+        f"(set $SFMNEXT_WEIGHTS or place the torch state_dict there; "
+        f"pass '--weights_init scratch' for random init)"
+    )
+
+
+def _load_sd(fname: str) -> Dict[str, np.ndarray]:
+    from sfmnext_tpu.utils.torch_port import load_state_dict
+
+    return load_state_dict(weights_path(fname))
+
+
+def imagenet_resnet(
+    num_layers: int, num_input_images: int = 1
+) -> Tuple[dict, dict]:
+    """(params, batch_stats) for ResNetEncoder from torchvision weights.
+
+    Multi-image stems tile conv1 over input channels / n
+    (resnet_encoder.py:55-61).
+    """
+    from sfmnext_tpu.utils.torch_port import convert_resnet_encoder
+
+    sd = _load_sd(f"resnet{num_layers}.pth")
+    params, stats = convert_resnet_encoder(sd, num_layers)
+    if num_input_images > 1:
+        k = params["conv1"]["kernel"]  # [kh,kw,3,O]
+        params["conv1"]["kernel"] = (
+            np.concatenate([np.asarray(k)] * num_input_images, axis=2)
+            / num_input_images
+        )
+    return params, stats
+
+
+def _imagenet_encoder_backbone(opt) -> Tuple[dict, dict]:
+    """(params, batch_stats) for the depth encoder's backbone submodule."""
+    from sfmnext_tpu.utils import torch_port as tp
+
+    backbone = opt.backbone
+    if backbone in ("resnet", "resnet_lite"):
+        return imagenet_resnet(opt.num_layers)
+    if backbone == "resnet18_lite":
+        return imagenet_resnet(18)
+    if backbone == "eff_b5":
+        sd = _load_sd("tf_efficientnet_b5_ap.pth")
+        return tp.convert_efficientnet_b5(sd)
+    # timm-Unet families (Unet.py:114-117). Raw timm state_dicts carry no
+    # module prefix, so the per-family converters run with prefix="".
+    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
+        layers = int("".join(c for c in backbone if c.isdigit()) or 50)
+        return tp.convert_resnet_encoder(_load_sd(f"{backbone}.pth"), layers)
+    if backbone.startswith("convnext"):
+        from sfmnext_tpu.models.convnext import convnext_cfg
+
+        depths, _ = convnext_cfg(backbone)
+        return tp.convert_convnext(_load_sd(f"{backbone}.pth"), depths), {}
+    if "efficientnet" in backbone:
+        return tp.convert_efficientnet_b5(
+            _load_sd(f"{backbone}.pth"), variant=backbone
+        )
+    raise NotImplementedError(
+        f"no ImageNet-init converter for backbone {backbone!r}; "
+        "pass '--weights_init scratch'"
+    )
+
+
+def _merge_checked(dst: Any, src: Any, what: str) -> Any:
+    """Replace ``dst`` by ``src`` after verifying identical tree structure
+    and leaf shapes (catches a weights file for the wrong architecture)."""
+    d_leaves, d_def = jax.tree_util.tree_flatten(dst)
+    s_leaves, s_def = jax.tree_util.tree_flatten(src)
+    if d_def != s_def:
+        raise ValueError(
+            f"pretrained {what} tree mismatch: expected {d_def}, got {s_def}"
+        )
+    for dl, sl in zip(d_leaves, s_leaves):
+        if np.shape(dl) != np.shape(sl):
+            raise ValueError(
+                f"pretrained {what} shape mismatch: "
+                f"{np.shape(sl)} vs expected {np.shape(dl)}"
+            )
+    return jax.tree_util.tree_unflatten(d_def, s_leaves)
+
+
+def apply_weights_init(opt, models, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Overwrite backbone params/batch_stats with ImageNet weights.
+
+    Applies to: the depth encoder's backbone (decoder stays random, as in
+    the reference), the separate_resnet pose encoder, and the RectifyNet
+    encoder. No-op for ``--weights_init scratch``.
+    """
+    if opt.weights_init != "pretrained":
+        return variables
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+
+    enc_p, enc_s = _imagenet_encoder_backbone(opt)
+    # every encoder wrapper names its backbone submodule 'encoder'
+    # (models/decoder_bn.py:105, efficientnet.py:211, unet.py, resnet.py)
+    new_enc = dict(params["encoder"])
+    new_enc["encoder"] = _merge_checked(
+        params["encoder"]["encoder"], enc_p, "encoder"
+    )
+    params["encoder"] = new_enc
+    if enc_s:
+        new_enc_s = dict(stats["encoder"])
+        new_enc_s["encoder"] = _merge_checked(
+            stats["encoder"]["encoder"], enc_s, "encoder batch_stats"
+        )
+        stats["encoder"] = new_enc_s
+
+    if models.pose_encoder is not None and "pose_encoder" in params:
+        p, s = imagenet_resnet(18, num_input_images=opt.num_pose_frames)
+        params["pose_encoder"] = _merge_checked(
+            params["pose_encoder"], p, "pose_encoder"
+        )
+        stats["pose_encoder"] = _merge_checked(
+            stats["pose_encoder"], s, "pose_encoder batch_stats"
+        )
+
+    if models.rectify is not None and "rectify" in params:
+        p, s = imagenet_resnet(18, num_input_images=2)
+        new_rec = dict(params["rectify"])
+        new_rec["encoder"] = _merge_checked(
+            params["rectify"]["encoder"], p, "rectify encoder"
+        )
+        params["rectify"] = new_rec
+        new_rec_s = dict(stats["rectify"])
+        new_rec_s["encoder"] = _merge_checked(
+            stats["rectify"]["encoder"], s, "rectify encoder batch_stats"
+        )
+        stats["rectify"] = new_rec_s
+
+    print(f"-> ImageNet init from {weights_dir()} ({opt.backbone})")
+    out = dict(variables)
+    out["params"] = params
+    out["batch_stats"] = stats
+    return out

@@ -242,6 +242,46 @@ def export_sql_decoder(params, num_heads: int = 4) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_resnet_encoder(params, batch_stats,
+                          prefix: str = "") -> Dict[str, np.ndarray]:
+    """Standalone ResNetEncoder tree -> torchvision-style state_dict keys
+    (inverse of torch_port.convert_resnet_encoder)."""
+    sd: Dict[str, np.ndarray] = {}
+    _put_conv(sd, prefix + "conv1", params["conv1"])
+    _put_bn(sd, prefix + "bn1", params["bn1"]["BatchNorm_0"],
+            batch_stats["bn1"]["BatchNorm_0"])
+    for name, blk in params.items():
+        if not name.startswith("layer"):
+            continue
+        stage, idx = name.replace("layer", "").split("_")
+        dst = f"{prefix}layer{stage}.{idx}"
+        for c in ("conv1", "conv2", "conv3"):
+            if c in blk:
+                _put_conv(sd, f"{dst}.{c}", blk[c])
+        for b in ("bn1", "bn2", "bn3"):
+            if b in blk:
+                _put_bn(sd, f"{dst}.{b}", blk[b]["BatchNorm_0"],
+                        batch_stats[name][b]["BatchNorm_0"])
+        if "down_conv" in blk:
+            _put_conv(sd, f"{dst}.downsample.0", blk["down_conv"])
+            _put_bn(sd, f"{dst}.downsample.1", blk["down_bn"]["BatchNorm_0"],
+                    batch_stats[name]["down_bn"]["BatchNorm_0"])
+    return sd
+
+
+def export_rectify(params, batch_stats) -> Dict[str, np.ndarray]:
+    """RectifyNet tree -> reference rectify.pth keys (inverse of
+    torch_port.convert_rectify; reference networks/rectify_net.py:6-68)."""
+    sd = export_resnet_encoder(
+        params["encoder"], batch_stats["encoder"], prefix="encoder.encoder."
+    )
+    dec = params["decoder"]
+    _put_conv(sd, "decoder.conv_squeeze", dec["squeeze"]["Conv_0"])
+    for i, name in enumerate(("pose_0", "pose_1", "pose_2")):
+        _put_conv(sd, f"decoder.convs_pose.{i}", dec[name]["Conv_0"])
+    return sd
+
+
 def export_pose_cnn(params) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
     for i in range(7):

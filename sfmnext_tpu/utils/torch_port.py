@@ -435,6 +435,28 @@ def convert_encoder_pth(sd: Dict[str, np.ndarray], opt):
 # -------------------------------------------------------------------- PoseCNN
 
 
+def convert_rectify(sd: Dict[str, np.ndarray]):
+    """Reference RectifyNet checkpoint (rectify.pth) -> (params, batch_stats).
+
+    Layout (networks/rectify_net.py:6-68): encoder.encoder.* is a 2-image
+    torchvision ResNet-18; decoder.conv_squeeze + decoder.convs_pose.{0,1,2}
+    map to our squeeze/pose_0/pose_1/pose_2 TorchConvs.
+    """
+    enc_sd = {
+        k[len("encoder.encoder."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.encoder.")
+    }
+    enc_p, enc_s = convert_resnet_encoder(enc_sd, 18)
+    dec = {
+        "squeeze": {"Conv_0": _conv_pb(sd, "decoder.conv_squeeze")},
+        "pose_0": {"Conv_0": _conv_pb(sd, "decoder.convs_pose.0")},
+        "pose_1": {"Conv_0": _conv_pb(sd, "decoder.convs_pose.1")},
+        "pose_2": {"Conv_0": _conv_pb(sd, "decoder.convs_pose.2")},
+    }
+    return {"encoder": enc_p, "decoder": dec}, {"encoder": enc_s}
+
+
 def convert_pose_cnn(sd: Dict[str, np.ndarray]):
     params: Dict[str, Any] = {}
     for i in range(7):

@@ -134,3 +134,22 @@ def test_evaluate_end_to_end(fake_eval_setup):
         assert np.isfinite(result[k]), result
     # median scaling keeps the scale ratio well-defined
     assert result["med_ratio"] > 0
+
+
+def test_evaluate_batched_matches_batch1(fake_eval_setup):
+    """--eval_batch_size N (padded last batch) reproduces the batch-1
+    protocol metrics (round-2 verdict item 8). 3 images, batch 2 ->
+    one full + one padded batch."""
+    from sfmnext_tpu.evaluation import evaluate
+
+    common = dict(
+        data_path=str(fake_eval_setup / "data"),
+        backbone="resnet", num_layers=18, num_features=64, model_dim=16,
+        patch_size=4, query_nums=16, dim_out=16, height=64, width=96,
+        eval_mono=True, post_process=True, eval_split="eigen",
+        num_workers=1, seed=3,
+    )
+    r1 = evaluate(Options(**common))
+    rN = evaluate(Options(**common, eval_batch_size=2))
+    for k in ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"):
+        np.testing.assert_allclose(rN[k], r1[k], rtol=1e-5, err_msg=k)

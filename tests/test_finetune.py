@@ -140,3 +140,40 @@ def test_onecycle_no_nan_for_tiny_total_steps():
     sched = onecycle_schedule(1e-3, 2)
     for i in range(4):
         assert np.isfinite(float(sched(i))), i
+
+
+def test_finetune_step_sharded_over_mesh():
+    """Finetune on the mesh: batch sharded over 8 virtual devices matches
+    the single-device step (reference DataParallel equivalence,
+    finetune/train_ft_SQLdepth.py:96; round-2 verdict item 5)."""
+    from sfmnext_tpu.parallel.mesh import make_mesh, shard_batch
+
+    opt = tiny_opt()
+    models = build_models(opt, train=True)
+    variables = init_params(opt, models, jax.random.PRNGKey(0))
+    tx = make_finetune_optimizer(1e-3, 50)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rng.rand(8, 64, 96, 3).astype(np.float32)),
+        "depth": jnp.asarray((rng.rand(8, 64, 96, 1) * 8 + 1).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(2)
+
+    state1 = TrainState.create(variables, tx)
+    step1 = make_finetune_step(opt, models, tx=tx, max_depth=10.0)
+    state1, m1 = step1(state1, batch, key)
+
+    mesh = make_mesh(8)
+    stateN = TrainState.create(variables, tx)
+    stepN = make_finetune_step(opt, models, tx=tx, max_depth=10.0, mesh=mesh)
+    stateN, mN = stepN(stateN, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(float(mN["loss"]), float(m1["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(stateN.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

@@ -175,3 +175,58 @@ def test_pallas_full_grad_matches_xla(padding):
     np.testing.assert_allclose(
         np.asarray(gp_gr), np.asarray(gx_gr), atol=1e-5
     )
+
+
+def test_rectify_rotation_assumption_at_indoor_resolution():
+    """The zeros-mode Pallas path's only live consumer is the indoor
+    rectify rotation warp (training/indoor.py). Samples whose
+    displacement exceeds the BAND/XWIN windows silently contribute 0 and
+    drop gradients, so pin the safe envelope: RectifyNet rotations with
+    every component up to |0.1| rad (far beyond handheld shake; the net's
+    pitch output is zeroed, models/rectify.py) must keep NYU-scale
+    (288x384, fixed normalized K, data/nyu.py:21-22) warps inside both
+    windows. A mid-training rotation beyond this envelope would clamp —
+    raise BAND/XWIN if the envelope ever needs to grow."""
+    from sfmnext_tpu.ops import geometry
+    from sfmnext_tpu.ops.pallas.warp_kernel import BAND, LANES, XWIN
+
+    h, w = 288, 384
+    K3 = np.array(
+        [[0.8107 * w, 0, 0.5087 * w],
+         [0, 1.0822 * h, 0.5286 * h],
+         [0, 0, 1]], np.float32,
+    )[None]
+
+    # RectifyNet's decoder zeroes the third euler component
+    # (models/rectify.py RotDecoder, reference rectify_net.py:66), so the
+    # live rotation space is (rx, ry, 0) — in-plane roll, the one motion
+    # that tilts rows across the band, cannot occur.
+    worst_dx, worst_spread = 0.0, 0.0
+    corners = [
+        (sx * 0.1, sy * 0.1, 0.0) for sx in (-1, 0, 1) for sy in (-1, 0, 1)
+    ]
+    for rot in corners:
+        r = jnp.asarray(np.array([rot], np.float32))
+        R = geometry.euler_to_mat(r)  # [1,3,3]
+        P = np.asarray(jnp.matmul(jnp.asarray(K3), R))[0]
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        pts = np.linalg.inv(K3[0]) @ np.stack(
+            [xs.ravel(), ys.ravel(), np.ones(h * w)], 0
+        )
+        cam = P @ pts
+        fx = (cam[0] / (cam[2] + 1e-7)).reshape(h, w)
+        fy = (cam[1] / (cam[2] + 1e-7)).reshape(h, w)
+        fx = np.clip(fx, 0, w - 1)
+        fy = np.clip(fy, 0, h - 1)
+        worst_dx = max(worst_dx, float(np.abs(fx - xs).max()))
+        worst_spread = max(
+            worst_spread, float((fy.max(axis=1) - fy.min(axis=1)).max())
+        )
+    assert worst_dx < (XWIN - LANES) // 2 - 2, (
+        f"indoor rotation dx {worst_dx:.1f}px exceeds the x-window "
+        f"guarantee ({(XWIN - LANES) // 2 - 2}); raise XWIN"
+    )
+    assert worst_spread < BAND - 2, (
+        f"indoor rotation per-row y-spread {worst_spread:.1f} exceeds the "
+        f"band ({BAND - 2}); raise BAND"
+    )

@@ -190,3 +190,28 @@ def test_pose_model_variants(pose_type, pose_input):
     p0 = np.asarray(jax.tree_util.tree_leaves(state.params["pose"])[0])
     p1 = np.asarray(jax.tree_util.tree_leaves(new_state.params["pose"])[0])
     assert not np.allclose(p0, p1)
+
+
+def test_bf16_loss_stack_tracks_f32():
+    """The default loss_dtype='auto' runs the photometric stacks in bf16
+    under bf16 compute (statistics still accumulate f32,
+    training/pipeline.py:285-301). Pin the deviation from the all-f32
+    reference numerics to a tight relative band so a future change that
+    degrades the bf16 stack (e.g. dropping the f32 accumulation) fails
+    loudly. Covers round-2 advisor finding on pipeline.py:292."""
+    from sfmnext_tpu.training.pipeline import forward
+
+    losses = {}
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(2, 64, 96, seed=5))
+    for ldt in ("float32", "bfloat16"):
+        opt = tiny_options(compute_dtype="float32", loss_dtype=ldt)
+        models = build_models(opt, train=True)
+        variables = init_params(opt, models, jax.random.PRNGKey(0))
+        total, aux = jax.jit(
+            lambda p, bs, b: forward(
+                models, p, bs, b, jax.random.PRNGKey(2), opt
+            )
+        )(variables["params"], variables["batch_stats"], batch)
+        losses[ldt] = float(total)
+    rel = abs(losses["bfloat16"] - losses["float32"]) / abs(losses["float32"])
+    assert rel < 0.02, f"bf16 loss stack drifted {rel:.4f} from f32: {losses}"
