@@ -96,6 +96,10 @@ class Options:
     pred_metric_depth: bool = False
     ext: str = "png"
     image_path: Optional[str] = None
+    # checkpoint dir to resume from; the special value "latest" resumes
+    # from this run's newest weights_* checkpoint if one exists (else
+    # starts fresh) — the preemption-friendly form: one command line for
+    # first launch and every relaunch
     load_weights_folder: Optional[str] = None
     models_to_load: Tuple[str, ...] = ("encoder", "depth", "pose_encoder", "pose")
 

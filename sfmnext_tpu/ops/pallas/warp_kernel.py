@@ -15,7 +15,9 @@ Mechanics (per output row / channel / 128-lane slab):
   * horizontal: a *static* XWIN-lane window centered on the output slab
     (sources sit within ~±128 px of their output column), so x-window
     addresses are compile-time constants — the row min is the kernel's
-    only data-dependent scalar;
+    only data-dependent scalar, and it is computed OUTSIDE the kernel
+    and delivered via scalar prefetch (SMEM) so the VPU pipeline never
+    flushes into a scalar read;
   * `take_along_axis` along lanes picks x-columns (Mosaic lane gather
     handles one vreg, hence the 128-wide slab split; each output slab
     scans the window's XWIN/128 source slabs with an xhi mask, merged
@@ -101,21 +103,35 @@ def _gather_pos(win, xs, xwin):
     return merged
 
 
-def _y_window(y0, band, h):
-    """Adaptive vertical window start for one output row (8-aligned).
+def _y_bases(fy, h, band, zeros: bool):
+    """Adaptive vertical window starts, one per output row (8-aligned).
 
-    Data-dependent (min over the row's source rows): rotation shifts a
+    Data-dependent (min over each row's source rows): rotation shifts a
     whole row's sources together, so the *spread* within a row stays
     small (< band-2, asserted by the assumption test) even when the
-    absolute displacement is tens of rows. This is the kernel's only
-    data-dependent scalar; the x window is static per slab. y0 may be
-    out of image range in zeros mode — clamp only the window placement
-    (the one-hot selects still use the raw relative index).
+    absolute displacement is tens of rows. Computed OUTSIDE the kernel
+    (one XLA min-reduce over fy) and handed in through scalar prefetch:
+    deriving the slice scalar from a VPU min inside the kernel forced a
+    vector->scalar pipeline flush per row that dominated kernel time
+    (the BAND/XWIN/rows_per_step sweeps never moved it). y0 may be out
+    of image range in zeros mode — clamp only the window placement (the
+    one-hot selects still use the raw relative index).
+
+    Returns int32 [B, Ho] window starts; mirrors _row_setup's per-mode y0.
     """
-    y_base = jnp.clip(
-        (jnp.min(jnp.clip(y0, 0, h - 1)) // 8) * 8, 0, max(h - band, 0)
-    )
-    return pl.multiple_of(y_base, 8)
+    if zeros:
+        y0 = jnp.floor(fy).astype(jnp.int32)
+    else:
+        fyc = jnp.clip(fy, 0.0, h - 1)
+        y0 = jnp.clip(jnp.floor(fyc), 0, h - 2).astype(jnp.int32)
+    ymin = jnp.min(jnp.clip(y0, 0, h - 1), axis=-1)  # [B, Ho]
+    return jnp.clip((ymin // 8) * 8, 0, max(h - band, 0)).astype(jnp.int32)
+
+
+def _read_y_base(yb_ref, i, rows: int, row_axis: int = 1):
+    """Current row's prefetched window start (SMEM scalar read)."""
+    r = pl.program_id(row_axis) * rows + i
+    return pl.multiple_of(yb_ref[pl.program_id(0), r], 8)
 
 
 def _x_window(s, xwin, w):
@@ -135,14 +151,14 @@ def _rel(idx, base, size, zeros: bool):
     return jnp.clip(idx - base, 0, size - 2)
 
 
-def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
+def _fwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
                 zeros: bool = False):
     n_slabs = w // LANES
     band = min(BAND, h)
     xwin = min(XWIN, w)
     for i in range(rows):
         y0, x0, wy, wx = _row_setup(fy_ref[0, i], fx_ref[0, i], h, w, zeros)
-        y_base = _y_window(y0, band, h)
+        y_base = _read_y_base(yb_ref, i, rows)
         y_rel = _rel(y0, y_base, band, zeros)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
@@ -164,7 +180,7 @@ def _fwd_kernel(img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
                 out_ref[0, ch, i, sl] = left * (1 - wxs) + right * wxs
 
 
-def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
+def _bwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
                 *, rows, h, w, c, zeros: bool = False):
     n_slabs = w // LANES
     band = min(BAND, h)
@@ -173,7 +189,7 @@ def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
         fy_row = fy_ref[0, i]
         fx_row = fx_ref[0, i]
         y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w, zeros)
-        y_base = _y_window(y0, band, h)
+        y_base = _read_y_base(yb_ref, i, rows)
         y_rel = _rel(y0, y_base, band, zeros)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
@@ -211,7 +227,7 @@ def _bwd_kernel(img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
             dfx_ref[0, i, sl] = dfx
 
 
-def _bwd_img_kernel(fy_ref, fx_ref, g_ref, dimg_ref, *, rows, h, w, c,
+def _bwd_img_kernel(yb_ref, fy_ref, fx_ref, g_ref, dimg_ref, *, rows, h, w, c,
                     zeros: bool = False):
     """Image cotangent: banded scatter via one-hot MXU matmuls.
 
@@ -246,7 +262,7 @@ def _bwd_img_kernel(fy_ref, fx_ref, g_ref, dimg_ref, *, rows, h, w, c,
         fx_row = jnp.sum(fx_all * pick, axis=0)
         g_row = jnp.sum(g_all * pick.astype(g_all.dtype), axis=0)
         y0, x0, wy, wx = _row_setup(fy_row, fx_row, h, w, zeros)
-        y_base = _y_window(y0, band, h)
+        y_base = _read_y_base(yb_ref, i, rows, row_axis=2)
         y_rel = _rel(y0, y_base, band, zeros)
         for s in range(n_slabs):
             sl = slice(s * LANES, (s + 1) * LANES)
@@ -296,26 +312,26 @@ def _call_bwd_img(fy, fx, g, img_shape, img_dtype, rows_per_step: int,
         _bwd_img_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
     )
     g_t = jnp.transpose(g, (0, 3, 1, 2))
+    yb = _y_bases(fy, h, min(BAND, h), zeros)
     dimg_t = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, rows_per_step, w),
-                         lambda bi, ci, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w),
-                         lambda bi, ci, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows_per_step, w),
-                         lambda bi, ci, ri: (bi, ci, ri, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, h, w), lambda bi, ci, ri: (bi, ci, 0, 0),
-            memory_space=pltpu.VMEM,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ci, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ci, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, 1, rows_per_step, w),
+                             lambda bi, ci, ri, yb_: (bi, ci, ri, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, h, w), lambda bi, ci, ri, yb_: (bi, ci, 0, 0),
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), img_dtype),
-    )(fy, fx, g_t)
+    )(yb, fy, fx, g_t)
     return jnp.transpose(dimg_t, (0, 2, 3, 1))
 
 
@@ -326,23 +342,25 @@ def _call_fwd(img, fy, fx, rows_per_step: int, zeros: bool = False):
     kern = functools.partial(
         _fwd_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
     )
+    yb = _y_bases(fy, h, min(BAND, h), zeros)
     out_t = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda bi, ri: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, c, rows_per_step, w), lambda bi, ri: (bi, 0, ri, 0),
-            memory_space=pltpu.VMEM,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, c, h, w), lambda bi, ri, yb_: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, c, rows_per_step, w), lambda bi, ri, yb_: (bi, 0, ri, 0),
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, fy.shape[1], w), img.dtype),
-    )(img_t, fy, fx)
+    )(yb, img_t, fy, fx)
     return jnp.transpose(out_t, (0, 2, 3, 1))
 
 
@@ -354,30 +372,33 @@ def _call_bwd_coords(img, fy, fx, g, rows_per_step: int, zeros: bool):
     )
     img_t = jnp.transpose(img, (0, 3, 1, 2))
     g_t = jnp.transpose(g, (0, 3, 1, 2))
+    yb = _y_bases(fy, h, min(BAND, h), zeros)
     return pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, c, h, w), lambda bi, ri: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, rows_per_step, w), lambda bi, ri: (bi, 0, ri, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_step, w), lambda bi, ri: (bi, ri, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, c, h, w), lambda bi, ri, yb_: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, c, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, 0, ri, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+                pl.BlockSpec((1, rows_per_step, w),
+                             lambda bi, ri, yb_: (bi, ri, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(fy.shape, fy.dtype),
             jax.ShapeDtypeStruct(fx.shape, fx.dtype),
         ],
-    )(img_t, fy, fx, g_t)
+    )(yb, img_t, fy, fx, g_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -13,6 +13,7 @@ checkpoint IO.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Optional
 
@@ -172,9 +173,20 @@ class Trainer:
         self.epoch = 0
         self.step = 0
 
-        # resume (reference load_model, trainer.py:662-688)
-        if opt.load_weights_folder:
-            self.load_model(opt.load_weights_folder)
+        # resume (reference load_model, trainer.py:662-688).
+        # ``--load_weights_folder latest`` is the preemption-friendly form:
+        # resume from the newest checkpoint under this run's models/ dir if
+        # one exists, else start fresh — the same command line works for the
+        # first launch and every relaunch after a preemption.
+        folder = opt.load_weights_folder
+        self._resumed_latest = False
+        if folder == "latest":
+            folder = self._latest_checkpoint()
+            self._resumed_latest = folder is not None
+            if folder is None:
+                print("-> no checkpoint yet; starting fresh", flush=True)
+        if folder:
+            self.load_model(folder)
             self.step = int(self.state.step)
         elif opt.load_adam:
             if not (opt.load_pretrained_model and opt.load_pt_folder):
@@ -265,17 +277,71 @@ class Trainer:
 
     # ------------------------------------------------------------------ train
     def train(self):
-        self.save_model()  # epoch-0 snapshot (reference trainer.py:221)
-        for self.epoch in range(self.opt.num_epochs):
-            self.run_epoch()
-            if (self.epoch + 1) % self.opt.save_frequency == 0:
-                self.save_model()
+        """Run the epoch loop, preemption-aware.
+
+        A ``--load_weights_folder latest`` resume fast-forwards to the
+        epoch its restored step count implies instead of replaying from
+        epoch 0 (an explicit folder keeps reference semantics: the epoch
+        schedule restarts, trainer.py:662-688). SIGTERM/SIGINT set a
+        flag that run_epoch checks once per step: the trainer writes a
+        ``weights_interrupt`` checkpoint at the next step boundary and
+        exits — combined with ``--load_weights_folder latest`` this is the
+        full preempt/restore cycle (the reference has no equivalent; its
+        closest artifact is the indoor trainer's 1000-step snapshots,
+        trainer_indoor.py:317-328).
+        """
+        self._interrupted = None
+        self._interrupt_saved = False
+        prev = {
+            s: signal.signal(s, self._on_interrupt)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+        try:
+            start_epoch = 0
+            if getattr(self, "_resumed_latest", False):
+                start_epoch = min(
+                    self.step // max(self.steps_per_epoch, 1),
+                    self.opt.num_epochs,
+                )
+            if start_epoch == 0:
+                self.save_model()  # epoch-0 snapshot (reference trainer.py:221)
+            for self.epoch in range(start_epoch, self.opt.num_epochs):
+                self.run_epoch()
+                if self._interrupted is not None:
+                    self._checkpoint_interrupt()
+                    return
+                if (self.epoch + 1) % self.opt.save_frequency == 0:
+                    self.save_model()
+        finally:
+            for s, h in prev.items():
+                signal.signal(s, h)
+
+    def _on_interrupt(self, signum, frame):
+        print(
+            f"-> caught signal {signum}; checkpointing at next step boundary",
+            flush=True,
+        )
+        self._interrupted = signum
+
+    def _checkpoint_interrupt(self):
+        if self._interrupt_saved:
+            return
+        self._interrupt_saved = True
+        self.save_model(tag="interrupt")
+        print(
+            f"-> interrupted at step {self.step}; resume with "
+            "--load_weights_folder latest",
+            flush=True,
+        )
 
     def run_epoch(self):
         print("Training", flush=True)
         for batch_idx, batch in enumerate(self.train_loader):
             if batch_idx >= self.steps_per_epoch:
                 break
+            if getattr(self, "_interrupted", None) is not None:
+                self._checkpoint_interrupt()
+                return
             t0 = time.time()
             batch = self._device_batch(batch)
             self.state, metrics = self.train_step(
@@ -374,6 +440,20 @@ class Trainer:
         return shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------ checkpoints
+    def _latest_checkpoint(self) -> Optional[str]:
+        """Newest ``weights_*`` checkpoint dir of this run (mtime order),
+        or None if the run has never checkpointed."""
+        root = os.path.join(self.log_path, "models")
+        if not os.path.isdir(root):
+            return None
+        cands = [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("weights_")
+            and os.path.isdir(os.path.join(root, d))
+        ]
+        return max(cands, key=os.path.getmtime) if cands else None
+
     def save_model(self, tag: Optional[str] = None):
         folder = os.path.join(
             self.log_path, "models", f"weights_{tag or self.epoch}"

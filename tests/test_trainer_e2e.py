@@ -160,4 +160,53 @@ def test_interrupt_and_resume_matches_unbroken(tmp_path):
         )
 
 
+def test_preempt_and_latest_resume(tmp_path):
+    """Preemption cycle: SIGTERM mid-run writes a weights_interrupt
+    checkpoint; relaunching the SAME command line with
+    ``--load_weights_folder latest`` picks it up, fast-forwards the epoch
+    schedule, and finishes the remaining steps (total step count equals an
+    unbroken run's)."""
+    import signal as _signal
+
+    ds = SyntheticDriveDataset(64, 96, seed=5)
+    batches = [ds.batch(2) for _ in range(2)]
+
+    class SignalingLoader(ListLoader):
+        """Raises SIGTERM in-process after serving the first batch."""
+
+        def __iter__(self):
+            for i, b in enumerate(self.batches):
+                if i == 1:
+                    os.kill(os.getpid(), _signal.SIGTERM)
+                yield b
+
+    kw = dict(
+        model_name="preempt", steps_per_epoch=1, num_epochs=2, batch_size=2,
+        load_weights_folder="latest", log_frequency=1,
+    )
+    tr_a = Trainer(
+        tiny_opt(tmp_path, **kw),
+        train_loader=SignalingLoader(batches), val_loader=None,
+    )
+    assert tr_a.step == 0  # "latest" with no checkpoint: fresh start
+    tr_a.train()  # epoch 0 completes; SIGTERM lands during epoch 1
+    assert tr_a._interrupted == _signal.SIGTERM
+    interrupt_dir = os.path.join(
+        str(tmp_path), "preempt", "models", "weights_interrupt"
+    )
+    assert os.path.isdir(interrupt_dir)
+
+    # relaunch, identical options: resumes from weights_interrupt (the
+    # newest checkpoint), fast-forwards to epoch 1, runs only step 1
+    tr_b = Trainer(
+        tiny_opt(tmp_path, **kw),
+        train_loader=ListLoader(batches[1:]), val_loader=None,
+    )
+    assert tr_b.step == 1  # restored from the interrupt checkpoint
+    tr_b.train()
+    assert tr_b.step == 2  # exactly the remaining step ran
+    losses = _read_losses(tmp_path, "preempt")
+    assert set(losses) == {0, 1}
+
+
 import jax  # noqa: E402  (used in resume tests)
