@@ -78,7 +78,8 @@ def garg_mask(gt, min_d, max_d):
 
 def make_finetune_step(opt: Options, models: ModelBundle, tx,
                        min_depth: float = 1e-3, max_depth: float = 80.0,
-                       rescale_half_batch: bool = True, mesh=None):
+                       rescale_half_batch: bool = True, mesh=None,
+                       donate: bool = True):
     """Jitted supervised step: (state, batch, rng) -> (state, metrics).
 
     With ``mesh``, the batch is sharded over the 'data' axis and state is
@@ -139,8 +140,9 @@ def make_finetune_step(opt: Options, models: ModelBundle, tx,
         )
         return new_state, {"loss": loss}
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate_argnums)
     from sfmnext_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
     rep = replicated_sharding(mesh)
@@ -149,7 +151,7 @@ def make_finetune_step(opt: Options, models: ModelBundle, tx,
         step,
         in_shardings=(rep, dat, rep),
         out_shardings=(rep, None),
-        donate_argnums=(0,),
+        donate_argnums=donate_argnums,
     )
 
 
