@@ -120,3 +120,20 @@ def max_pool_3x3_s2(x):
 
 def leaky_relu(x, negative_slope: float = 0.01):
     return jax.nn.leaky_relu(x, negative_slope)
+
+
+def se_module(x, rd_channels: int, dtype, name: str):
+    """Squeeze-and-excitation (Hu et al.): pool -> 1x1 -> ReLU -> 1x1 -> sigmoid.
+
+    Shared by the se/sk/regnety encoder families (the reference reaches
+    these via timm backbone names, networks/Unet.py:316-383).
+    """
+    s = x.mean(axis=(1, 2), keepdims=True)
+    s = nn.Conv(
+        rd_channels, (1, 1), use_bias=True, dtype=dtype, name=f"{name}_fc1"
+    )(s)
+    s = nn.relu(s)
+    s = nn.Conv(
+        x.shape[-1], (1, 1), use_bias=True, dtype=dtype, name=f"{name}_fc2"
+    )(s)
+    return x * nn.sigmoid(s)

@@ -16,10 +16,16 @@ from typing import Sequence
 
 import flax.linen as nn
 
-from sfmnext_tpu.models.common import BatchNorm, kaiming_normal_fanout, max_pool_3x3_s2
+from sfmnext_tpu.models.common import (
+    BatchNorm,
+    kaiming_normal_fanout,
+    max_pool_3x3_s2,
+    se_module,
+)
 
 RESNET_SPECS = {
     18: ("basic", (2, 2, 2, 2)),
+    26: ("bottleneck", (2, 2, 2, 2)),  # timm resnet26/seresnext26 family
     34: ("basic", (3, 4, 6, 3)),
     50: ("bottleneck", (3, 4, 6, 3)),
     101: ("bottleneck", (3, 4, 23, 3)),
@@ -48,6 +54,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     train: bool = False
     dtype: object = None
+    se_reduction: int = 0  # >0: SE after bn2 (timm seresnet semantics)
 
     @nn.compact
     def __call__(self, x):
@@ -57,6 +64,10 @@ class BasicBlock(nn.Module):
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, name="conv2", dtype=self.dtype)(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
+        if self.se_reduction:
+            y = se_module(
+                y, max(1, self.features // self.se_reduction), self.dtype, "se"
+            )
         if self.strides != 1 or identity.shape[-1] != self.features:
             identity = _conv(self.features, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
             identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
@@ -70,6 +81,7 @@ class Bottleneck(nn.Module):
     dtype: object = None
     groups: int = 1       # resnext: grouped 3x3 (torchvision resnet.py)
     base_width: int = 64  # wide_resnet: 128; resnext50_32x4d: 4
+    se_reduction: int = 0  # >0: SE after bn3 (timm seresnet/seresnext)
 
     @nn.compact
     def __call__(self, x):
@@ -88,6 +100,10 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn3")(y)
+        if self.se_reduction:
+            y = se_module(
+                y, max(1, out_ch // self.se_reduction), self.dtype, "se"
+            )
         if self.strides != 1 or identity.shape[-1] != out_ch:
             identity = _conv(out_ch, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
             identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
@@ -113,6 +129,7 @@ class ResNetEncoder(nn.Module):
     dtype: object = None
     groups: int = 1       # resnext variants (torchvision resnet.py)
     base_width: int = 64  # wide_resnet variants
+    se_reduction: int = 0  # seresnet/seresnext variants (timm, reduction 16)
 
     @nn.compact
     def __call__(self, x):
@@ -121,10 +138,13 @@ class ResNetEncoder(nn.Module):
             assert self.groups == 1 and self.base_width == 64, (
                 "groups/base_width require bottleneck blocks (torchvision)"
             )
-            block = BasicBlock
+            block = functools.partial(
+                BasicBlock, se_reduction=self.se_reduction
+            )
         else:
             block = functools.partial(
-                Bottleneck, groups=self.groups, base_width=self.base_width
+                Bottleneck, groups=self.groups, base_width=self.base_width,
+                se_reduction=self.se_reduction,
             )
 
         if self.normalize_input:
@@ -154,6 +174,6 @@ class ResNetEncoder(nn.Module):
     @staticmethod
     def feature_channels(num_layers: int) -> Sequence[int]:
         base = [64, 64, 128, 256, 512]
-        if num_layers > 34:
+        if RESNET_SPECS[num_layers][0] == "bottleneck":
             return [base[0]] + [c * 4 for c in base[1:]]
         return base

@@ -86,6 +86,14 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        backbone = self.backbone
+        # weight-source prefixes (ssl/swsl/tv/gluon v1b) share the plain
+        # torchvision topology — route to the base family
+        for pre in ("ssl_", "swsl_", "tv_"):
+            if backbone.startswith(pre):
+                backbone = backbone[len(pre):]
+        if backbone.startswith("gluon_") and backbone.endswith("_v1b"):
+            backbone = backbone[len("gluon_"):-len("_v1b")]
         if self.backbone.startswith("convnext"):
             depths, dims = convnext_cfg(self.backbone)
             feats = ConvNeXt(
@@ -100,13 +108,21 @@ class Unet(nn.Module):
                 variant=self.backbone, features_only=True,
                 train=self.train, dtype=self.dtype, name="encoder",
             )(x)
-        elif self.backbone.startswith(
-            ("resnet", "resnext", "wide_resnet")
+        elif backbone.startswith(
+            ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
+             "legacy_seresnet", "legacy_seresnext")
         ):
             from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
 
             groups, base_width = 1, 64
-            name = self.backbone
+            name = backbone
+            se_reduction = 0
+            if name.startswith("legacy_"):
+                name = name[len("legacy_"):]
+            if name.startswith("se"):
+                # seresnet50 / seresnext50_32x4d: ResNet + SE (reduction 16)
+                se_reduction = 16
+                name = name[len("se"):]
             if name.startswith("resnext"):
                 # resnext<depth>_<groups>x<width>d (torchvision naming)
                 depth, spec = name[len("resnext"):].split("_")
@@ -125,6 +141,27 @@ class Unet(nn.Module):
             feats = ResNetEncoder(
                 num_layers=layers, train=self.train, dtype=self.dtype,
                 normalize_input=False, groups=groups, base_width=base_width,
+                se_reduction=se_reduction, name="encoder",
+            )(x)[1:]
+        elif backbone.startswith(("regnetx_", "regnety_")):
+            from sfmnext_tpu.models.regnet import RegNet
+
+            feats = RegNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
+        elif backbone.startswith(("res2net", "res2next")):
+            from sfmnext_tpu.models.res2net import Res2Net
+
+            feats = Res2Net(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
+        elif backbone.startswith(("skresnet", "skresnext")):
+            from sfmnext_tpu.models.sknet import SKNet
+
+            feats = SKNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)[1:]
         elif self.backbone.startswith("vgg"):
@@ -151,9 +188,12 @@ class Unet(nn.Module):
         else:
             raise NotImplementedError(
                 f"backbone {self.backbone!r}: convnext_* / resnet* / "
-                "resnext* / wide_resnet* / *efficientnet_b[0-7]* / vgg* / "
-                "densenet* / mobilenetv2_* families implemented; use "
-                "backbone='resnet'/'eff_b5' for the other reference paths"
+                "resnext* / wide_resnet* / [legacy_]seresnet* / seresnext* / "
+                "regnetx_* / regnety_* / res2net* / res2next* / skresnet* / "
+                "skresnext* / *efficientnet_b[0-7]* / vgg* / densenet* / "
+                "mobilenetv2_* families implemented (+ ssl_/swsl_/tv_/"
+                "gluon-v1b aliases); use backbone='resnet'/'eff_b5' for the "
+                "other reference paths"
             )
         out = UnetDecoder(
             tuple(self.decoder_channels),

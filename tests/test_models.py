@@ -124,6 +124,9 @@ def test_effb5_encoder_decoder_contract():
         "convnext_atto", "resnet18", "tf_efficientnet_b0",
         "resnext50_32x4d", "wide_resnet50_2", "vgg11_bn",
         "densenet121", "mobilenetv2_050",
+        "regnetx_002", "regnety_002", "res2net50_48w_2s", "res2next50",
+        "legacy_seresnet18", "legacy_seresnext26_32x4d", "skresnet18",
+        "ssl_resnet18", "gluon_resnet18_v1b",
     ],
 )
 def test_unet_backbones_half_res_contract(backbone):
