@@ -177,7 +177,14 @@ def _fwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
                 ]
                 left = jnp.sum(wmap * _gather_pos(win, xlw, xwin), axis=0)
                 right = jnp.sum(wmap * _gather_pos(win, xlw + 1, xwin), axis=0)
-                out_ref[0, ch, i, sl] = left * (1 - wxs) + right * wxs
+                # lerp rides the weight dtype (f32); store in the output
+                # dtype. NOTE a bf16 image would halve the gather vregs,
+                # but Mosaic's dynamic_gather requires the index and
+                # result bitwidths to match (i32 lanes) — bf16 windows
+                # don't compile on this toolchain, so images stay f32.
+                out_ref[0, ch, i, sl] = (
+                    left * (1 - wxs) + right * wxs
+                ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,

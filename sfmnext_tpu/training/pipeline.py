@@ -266,6 +266,10 @@ def forward(
     # 3. warp every source frame into the target view
     K, inv_K = batch["K"], batch["inv_K"]
     target = batch["color"][:, 0]
+    loss_dtype = (
+        opt.compute_dtype if opt.loss_dtype == "auto" else opt.loss_dtype
+    )
+    ldt = jnp.bfloat16 if loss_dtype == "bfloat16" else jnp.float32
     warped_srcs, ident_srcs = [], []
     for idx, f_i in enumerate(frame_ids[1:], start=1):
         if f_i == "s":
@@ -284,6 +288,9 @@ def forward(
             and train
             and jax.default_backend() == "tpu"
         )
+        # NOTE: the warp samples in f32 even under bf16 loss_dtype — Mosaic's
+        # dynamic_gather requires index/result bitwidth match (i32 lanes), so
+        # a bf16 image window cannot be lane-gathered on this toolchain.
         warped, pix = warp_frame(src, depth, inv_K, K, T, use_pallas=use_pallas)
         outputs[f"warped_{f_i}"] = warped
         warped_srcs.append(warped)
@@ -296,10 +303,6 @@ def forward(
     # native-bf16 pooling matmuls); all pooled statistics and the output
     # maps stay f32 (box_filter_reflect accumulates f32).
     use_ssim = not opt.no_ssim
-    loss_dtype = (
-        opt.compute_dtype if opt.loss_dtype == "auto" else opt.loss_dtype
-    )
-    ldt = jnp.bfloat16 if loss_dtype == "bfloat16" else jnp.float32
     target_l = target.astype(ldt)
     tstats = L.ssim_target_stats(target_l) if use_ssim else None
     reproj = L.reprojection_losses_stacked(
