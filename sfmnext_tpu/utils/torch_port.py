@@ -416,6 +416,13 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
             {"encoder": enc_p, "decoder": dec_p},
             {"encoder": enc_s, "decoder": dec_s},
         )
+    if backbone.startswith(("regnetx_", "regnety_")):
+        enc_p, enc_s = convert_regnet(sd, backbone, prefix="encoder.")
+        dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
+        return (
+            {"encoder": enc_p, "decoder": dec_p},
+            {"encoder": enc_s, "decoder": dec_s},
+        )
     raise NotImplementedError(f"no Unet converter for backbone {backbone!r}")
 
 
@@ -463,3 +470,57 @@ def convert_pose_cnn(sd: Dict[str, np.ndarray]):
         params[f"conv{i}"] = {"Conv_0": _conv_pb(sd, f"net.{i}")}
     params["pose_conv"] = {"Conv_0": _conv_pb(sd, "pose_conv")}
     return params
+
+
+# -------------------------------------------------------------------- RegNet
+
+
+def convert_regnet(sd: Dict[str, np.ndarray], variant: str,
+                   prefix: str = ""):
+    """timm RegNetX/Y state_dict -> (params, batch_stats) for
+    models.regnet.RegNet.
+
+    timm naming (the reference loads these via timm.create_model,
+    networks/Unet.py:114-117): stem.conv/stem.bn; stages s{1..4} with
+    blocks b{1..}, each conv1/conv2/conv3 as ConvBnAct (.conv/.bn),
+    optional se.fc1/se.fc2 (RegNetY), and downsample.conv/.bn on the
+    first block of a stage.
+    """
+    from sfmnext_tpu.models.regnet import REGNET_CFG
+
+    depths, _, _, se = REGNET_CFG[variant]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    params["stem_conv"] = {"kernel": _conv_w(sd[prefix + "stem.conv.weight"])}
+    bn_pair(params, stats, "stem_bn", "stem.bn")
+
+    for stage, d in enumerate(depths, start=1):
+        for bi in range(d):
+            src = f"s{stage}.b{bi + 1}"
+            dst = f"s{stage}_b{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in ("conv1", "conv2", "conv3"):
+                bp[f"{c}_conv"] = {
+                    "kernel": _conv_w(sd[f"{prefix}{src}.{c}.conv.weight"])
+                }
+                bn_pair(bp, bs, f"{c}_bn", f"{src}.{c}.bn")
+            if se:
+                bp["se_fc1"] = _conv_pb(sd, f"{prefix}{src}.se.fc1")
+                bp["se_fc2"] = _conv_pb(sd, f"{prefix}{src}.se.fc2")
+            if f"{prefix}{src}.downsample.conv.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": _conv_w(
+                        sd[f"{prefix}{src}.downsample.conv.weight"]
+                    )
+                }
+                bn_pair(bp, bs, "down_bn", f"{src}.downsample.bn")
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats

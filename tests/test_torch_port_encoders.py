@@ -391,3 +391,120 @@ def test_convnext_key_normalization():
     assert "stages.0.blocks.0.dwconv.weight" in out
     assert "stem.0.weight" in out
     assert "stages.1.blocks.0.pwconv1.weight" in out
+
+
+# -------------------------------------------------------------------- regnet
+
+
+class _RegCBA(nn.Module):
+    """timm ConvBnAct naming: .conv / .bn"""
+
+    def __init__(self, in_ch, out_ch, k, s, groups=1):
+        super().__init__()
+        self.conv = nn.Conv2d(
+            in_ch, out_ch, k, s, padding=k // 2, groups=groups, bias=False
+        )
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x, act=True):
+        y = self.bn(self.conv(x))
+        return F.relu(y) if act else y
+
+
+class _RegSE(nn.Module):
+    def __init__(self, ch, rd):
+        super().__init__()
+        self.fc1 = nn.Conv2d(ch, rd, 1)
+        self.fc2 = nn.Conv2d(rd, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        return x * torch.sigmoid(self.fc2(F.relu(self.fc1(s))))
+
+
+class _RegBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, stride, gw, se):
+        super().__init__()
+        self.conv1 = _RegCBA(in_ch, out_ch, 1, 1)
+        self.conv2 = _RegCBA(out_ch, out_ch, 3, stride, groups=out_ch // gw)
+        if se:
+            self.se = _RegSE(out_ch, max(1, int(round(in_ch * 0.25))))
+        else:
+            self.se = None
+        self.conv3 = _RegCBA(out_ch, out_ch, 1, 1)
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = _RegCBA(in_ch, out_ch, 1, stride)
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = self.conv1(x)
+        y = self.conv2(y)
+        if self.se is not None:
+            y = self.se(y)
+        y = self.conv3(y, act=False)
+        if self.downsample is not None:
+            x = self.downsample(x, act=False)
+        return F.relu(y + x)
+
+
+class TorchRegNet(nn.Module):
+    """Block-for-block timm regnet (state-dict-compatible naming)."""
+
+    def __init__(self, variant):
+        super().__init__()
+        from sfmnext_tpu.models.regnet import REGNET_CFG
+
+        depths, widths, gw, se = REGNET_CFG[variant]
+        self.stem = _RegCBA(3, 32, 3, 2)
+        in_ch = 32
+        for si, (d, w) in enumerate(zip(depths, widths), start=1):
+            stage = nn.Module()
+            for bi in range(d):
+                setattr(
+                    stage, f"b{bi + 1}",
+                    _RegBlock(in_ch, w, 2 if bi == 0 else 1, gw, se),
+                )
+                in_ch = w
+            setattr(self, f"s{si}", stage)
+        self.depths = depths
+
+    def forward(self, x):
+        y = self.stem(x)
+        taps = [y]
+        for si in range(1, 5):
+            stage = getattr(self, f"s{si}")
+            for bi in range(self.depths[si - 1]):
+                y = getattr(stage, f"b{bi + 1}")(y)
+            taps.append(y)
+        return taps
+
+
+@pytest.mark.parametrize("variant", ["regnety_002", "regnetx_002"])
+def test_regnet_port_matches_torch(variant):
+    from sfmnext_tpu.models.regnet import RegNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchRegNet(variant).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_regnet(sd, variant)
+
+    model = RegNet(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-4, err_msg=f"feature {i}"
+        )
