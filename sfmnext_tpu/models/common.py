@@ -12,6 +12,8 @@ training dynamics comparable we reproduce them:
 
 from __future__ import annotations
 
+import math
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -137,3 +139,32 @@ def se_module(x, rd_channels: int, dtype, name: str):
         x.shape[-1], (1, 1), use_bias=True, dtype=dtype, name=f"{name}_fc2"
     )(s)
     return x * nn.sigmoid(s)
+
+
+def eca_module(x, dtype, name: str):
+    """Efficient channel attention (ECA-Net, Wang et al. CVPR'20).
+
+    Global-avg-pool -> 1-D conv across the channel axis (adaptive odd
+    kernel ``k`` from ``C`` with gamma=2, beta=1) -> sigmoid gate. Used by
+    the reference's ``ecaresnet*`` timm backbones (networks/Unet.py:330).
+    """
+    c = x.shape[-1]
+    t = int(abs((math.log2(c) + 1.0) / 2.0))
+    k = max(t if t % 2 else t + 1, 3)
+    s = x.mean(axis=(1, 2))[..., None]  # [B, C, 1]: channels as "space"
+    s = nn.Conv(
+        1, (k,), padding=k // 2, use_bias=False, dtype=dtype, name=f"{name}_conv"
+    )(s)
+    return x * nn.sigmoid(s.reshape(s.shape[0], 1, 1, c))
+
+
+def avg_pool_2x2_s2_ceil(x):
+    """torch AvgPool2d(2, 2, ceil_mode=True, count_include_pad=False).
+
+    The shortcut pool of timm's avg-down resnets (resnet*d / gluon v1d).
+    """
+    h, w = x.shape[1:3]
+    return nn.avg_pool(
+        x, (2, 2), strides=(2, 2), padding=((0, h % 2), (0, w % 2)),
+        count_include_pad=False,
+    )

@@ -18,18 +18,27 @@ import flax.linen as nn
 
 from sfmnext_tpu.models.common import (
     BatchNorm,
+    avg_pool_2x2_s2_ceil,
+    eca_module,
     kaiming_normal_fanout,
     max_pool_3x3_s2,
     se_module,
 )
 
 RESNET_SPECS = {
+    10: ("basic", (1, 1, 1, 1)),       # timm resnet10t
+    14: ("bottleneck", (1, 1, 1, 1)),  # timm resnet14t
     18: ("basic", (2, 2, 2, 2)),
     26: ("bottleneck", (2, 2, 2, 2)),  # timm resnet26/seresnext26 family
     34: ("basic", (3, 4, 6, 3)),
     50: ("bottleneck", (3, 4, 6, 3)),
     101: ("bottleneck", (3, 4, 23, 3)),
     152: ("bottleneck", (3, 8, 36, 3)),
+    200: ("bottleneck", (3, 24, 36, 3)),  # timm resnet200d
+    269: ("bottleneck", (3, 30, 48, 8)),  # timm ecaresnet269d
+    270: ("bottleneck", (4, 29, 53, 4)),  # resnetrs270
+    350: ("bottleneck", (4, 36, 72, 4)),  # resnetrs350
+    420: ("bottleneck", (4, 44, 87, 4)),  # resnetrs420
 }
 
 
@@ -49,12 +58,32 @@ def _conv(features, kernel, strides=1, name=None, dtype=None, groups=1):
     )
 
 
+def _downsample(x, out_ch, strides, avg_down, train, dtype):
+    """Projection shortcut; ``avg_down`` = timm's ResNet-D variant
+    (AvgPool(2,2,ceil) then 1x1 stride-1 conv instead of a strided 1x1)."""
+    if avg_down and strides != 1:
+        x = avg_pool_2x2_s2_ceil(x)
+        strides = 1
+    x = _conv(out_ch, 1, strides, name="down_conv", dtype=dtype)(x)
+    return BatchNorm(not train, dtype=dtype, name="down_bn")(x)
+
+
+def _attn(y, attn, se_reduction, out_ch, dtype):
+    if se_reduction:
+        y = se_module(y, max(1, out_ch // se_reduction), dtype, "se")
+    if attn == "eca":
+        y = eca_module(y, dtype, "eca")
+    return y
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     train: bool = False
     dtype: object = None
     se_reduction: int = 0  # >0: SE after bn2 (timm seresnet semantics)
+    avg_down: bool = False  # timm resnet*d/gluon-v1d shortcut pooling
+    attn: str = ""  # "eca": ecaresnet* (after bn2, like SE)
 
     @nn.compact
     def __call__(self, x):
@@ -64,13 +93,12 @@ class BasicBlock(nn.Module):
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, name="conv2", dtype=self.dtype)(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
-        if self.se_reduction:
-            y = se_module(
-                y, max(1, self.features // self.se_reduction), self.dtype, "se"
-            )
+        y = _attn(y, self.attn, self.se_reduction, self.features, self.dtype)
         if self.strides != 1 or identity.shape[-1] != self.features:
-            identity = _conv(self.features, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
-            identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
+            identity = _downsample(
+                x, self.features, self.strides, self.avg_down, self.train,
+                self.dtype,
+            )
         return nn.relu(y + identity)
 
 
@@ -82,6 +110,8 @@ class Bottleneck(nn.Module):
     groups: int = 1       # resnext: grouped 3x3 (torchvision resnet.py)
     base_width: int = 64  # wide_resnet: 128; resnext50_32x4d: 4
     se_reduction: int = 0  # >0: SE after bn3 (timm seresnet/seresnext)
+    avg_down: bool = False  # timm resnet*d/gluon-v1d shortcut pooling
+    attn: str = ""  # "eca": ecaresnet* (after bn3, like SE)
 
     @nn.compact
     def __call__(self, x):
@@ -100,13 +130,11 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn3")(y)
-        if self.se_reduction:
-            y = se_module(
-                y, max(1, out_ch // self.se_reduction), self.dtype, "se"
-            )
+        y = _attn(y, self.attn, self.se_reduction, out_ch, self.dtype)
         if self.strides != 1 or identity.shape[-1] != out_ch:
-            identity = _conv(out_ch, 1, self.strides, name="down_conv", dtype=self.dtype)(x)
-            identity = BatchNorm(not self.train, dtype=self.dtype, name="down_bn")(identity)
+            identity = _downsample(
+                x, out_ch, self.strides, self.avg_down, self.train, self.dtype
+            )
         return nn.relu(y + identity)
 
 
@@ -130,6 +158,11 @@ class ResNetEncoder(nn.Module):
     groups: int = 1       # resnext variants (torchvision resnet.py)
     base_width: int = 64  # wide_resnet variants
     se_reduction: int = 0  # seresnet/seresnext variants (timm, reduction 16)
+    stem_type: str = ""   # ""=7x7 | "deep"/"deep_tiered": 3x 3x3 convs
+    stem_width: int = 32  # deep-stem width (gluon v1c/v1d: 32, v1s: 64)
+    avg_down: bool = False  # resnet*d / gluon-v1d shortcut pooling
+    attn: str = ""        # "eca": ecaresnet*
+    replace_stem_pool: bool = False  # resnetrs: 3x3 s2 conv-BN-relu pool
 
     @nn.compact
     def __call__(self, x):
@@ -139,12 +172,14 @@ class ResNetEncoder(nn.Module):
                 "groups/base_width require bottleneck blocks (torchvision)"
             )
             block = functools.partial(
-                BasicBlock, se_reduction=self.se_reduction
+                BasicBlock, se_reduction=self.se_reduction,
+                avg_down=self.avg_down, attn=self.attn,
             )
         else:
             block = functools.partial(
                 Bottleneck, groups=self.groups, base_width=self.base_width,
-                se_reduction=self.se_reduction,
+                se_reduction=self.se_reduction, avg_down=self.avg_down,
+                attn=self.attn,
             )
 
         if self.normalize_input:
@@ -153,12 +188,34 @@ class ResNetEncoder(nn.Module):
             x = x.astype(self.dtype)
 
         features = []
-        y = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
-        y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
-        y = nn.relu(y)
+        if self.stem_type:
+            # timm/gluon deep stem: 3x3 s2 + 2x 3x3 s1, ending at
+            # 2*stem_width channels; "tiered" narrows the first conv to
+            # 3*stem_width/4 (timm resnet.py make_stem / gluoncv resnetv1c)
+            c0 = (
+                3 * self.stem_width // 4
+                if self.stem_type == "deep_tiered" else self.stem_width
+            )
+            chans = (c0, self.stem_width, 2 * self.stem_width)
+            y = x
+            for i, (c, s) in enumerate(zip(chans, (2, 1, 1))):
+                y = _conv(c, 3, s, name=f"conv1_{i}", dtype=self.dtype)(y)
+                y = BatchNorm(not self.train, dtype=self.dtype, name=f"bn1_{i}")(y)
+                y = nn.relu(y)
+        else:
+            y = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
+            y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
+            y = nn.relu(y)
         features.append(y)
 
-        y = max_pool_3x3_s2(y)
+        if self.replace_stem_pool:
+            # ResNet-RS (Bello et al. '21): strided conv instead of max pool
+            y = _conv(64, 3, 2, name="stem_pool_conv", dtype=self.dtype)(y)
+            y = BatchNorm(not self.train, dtype=self.dtype,
+                          name="stem_pool_bn")(y)
+            y = nn.relu(y)
+        else:
+            y = max_pool_3x3_s2(y)
         for stage, (width, n_blocks) in enumerate(
             zip((64, 128, 256, 512), stage_sizes)
         ):

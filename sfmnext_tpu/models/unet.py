@@ -14,6 +14,7 @@ resolution — the contract the SQL decoder expects.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 import flax.linen as nn
@@ -89,7 +90,7 @@ class Unet(nn.Module):
         backbone = self.backbone
         # weight-source prefixes (ssl/swsl/tv/gluon v1b) share the plain
         # torchvision topology — route to the base family
-        for pre in ("ssl_", "swsl_", "tv_"):
+        for pre in ("ssl_", "swsl_", "tv_", "ig_"):
             if backbone.startswith(pre):
                 backbone = backbone[len(pre):]
         if backbone.startswith("gluon_") and backbone.endswith("_v1b"):
@@ -99,7 +100,7 @@ class Unet(nn.Module):
             feats = ConvNeXt(
                 depths, dims, self.train, self.dtype, name="encoder"
             )(x)
-        elif "efficientnet" in self.backbone:
+        elif re.search(r"efficientnet_b\d", backbone):
             from sfmnext_tpu.models.efficientnet import EfficientNet
 
             # 5 stride taps -> 4 skip-connected decoder blocks end at 1/2
@@ -109,30 +110,187 @@ class Unet(nn.Module):
                 train=self.train, dtype=self.dtype, name="encoder",
             )(x)
         elif backbone.startswith(
+            ("efficientnetv2_", "tf_efficientnetv2_", "efficientnet_lite",
+             "tf_efficientnet_lite", "efficientnet_e", "tf_efficientnet_e",
+             "mobilenetv3_", "tf_mobilenetv3_", "lcnet_", "mnasnet_",
+             "semnasnet_", "spnasnet_", "tinynet_", "mixnet_", "tf_mixnet_")
+        ):
+            from sfmnext_tpu.models.mobile_builder import MobileTrunk
+
+            # "_pruned" names share the base topology (the channel pruning
+            # of the published pruned weights is not replicated)
+            feats = MobileTrunk(
+                variant=backbone.replace("_pruned", ""),
+                train=self.train, dtype=self.dtype, name="encoder",
+            )(x)
+        elif backbone.startswith("gernet_"):
+            from sfmnext_tpu.models.gernet import GerNet
+
+            feats = GerNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("ghostnet_"):
+            from sfmnext_tpu.models.ghostnet import GhostNet
+
+            feats = GhostNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone in ("legacy_senet154", "gluon_senet154"):
+            from sfmnext_tpu.models.senet import SENet154
+
+            feats = SENet154(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("hrnet_"):
+            from sfmnext_tpu.models.hrnet import HRNet
+
+            feats = HRNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith(("dm_nfnet_", "eca_nfnet_", "nfnet_",
+                                  "nf_resnet")):
+            from sfmnext_tpu.models.nfnet import NFNet
+
+            feats = NFNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith(("mobilevit_", "mobilevitv2_")):
+            from sfmnext_tpu.models.mobilevit import MobileViT
+
+            feats = MobileViT(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith(("cspresnet", "cspresnext", "cspdarknet",
+                                  "darknet")):
+            from sfmnext_tpu.models.cspnet import CSPNet
+
+            feats = CSPNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith(("xception", "gluon_xception")):
+            from sfmnext_tpu.models.xception import Xception
+
+            feats = Xception(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("dpn"):
+            from sfmnext_tpu.models.dpn import DPN
+
+            feats = DPN(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("ese_vovnet"):
+            from sfmnext_tpu.models.vovnet import VoVNet
+
+            feats = VoVNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("rexnet_"):
+            from sfmnext_tpu.models.rexnet import ReXNet
+
+            feats = ReXNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("resnest"):
+            from sfmnext_tpu.models.resnest import ResNeSt
+
+            feats = ResNeSt(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
+        elif backbone.startswith("resnetv2_"):
+            from sfmnext_tpu.models.resnetv2 import ResNetV2
+
+            feats = ResNetV2(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
+        elif backbone.startswith("gluon_") or backbone.startswith(
             ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
-             "legacy_seresnet", "legacy_seresnext")
+             "legacy_seresnet", "legacy_seresnext", "ecaresnet")
         ):
             from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
 
             groups, base_width = 1, 64
             name = backbone
             se_reduction = 0
+            attn = ""
+            stem_type, stem_width, avg_down = "", 32, False
+            replace_stem_pool = False
+            if name.startswith("gluon_"):
+                # gluon_resnet50_v1c/v1d/v1s: deep stem (v1d adds avg-down
+                # shortcuts, v1s widens the stem to 64) — gluoncv resnetv1b.
+                # gluon_[se]resnext*: plain torchvision topology (weight-
+                # source alias; the v1b case is stripped earlier).
+                base, variant = name[len("gluon_"):].rsplit("_", 1)
+                if variant in ("v1c", "v1d", "v1s"):
+                    name = base
+                    stem_type = "deep"
+                    avg_down = variant == "v1d"
+                    stem_width = 64 if variant == "v1s" else 32
+                else:
+                    name = name[len("gluon_"):]
             if name.startswith("legacy_"):
                 name = name[len("legacy_"):]
+            if name.startswith("eca"):
+                # ecaresnet26t/50d/50t/101d/269d: efficient channel attention
+                attn = "eca"
+                name = name[len("eca"):]
             if name.startswith("se"):
                 # seresnet50 / seresnext50_32x4d: ResNet + SE (reduction 16)
                 se_reduction = 16
                 name = name[len("se"):]
-            if name.startswith("resnext"):
-                # resnext<depth>_<groups>x<width>d (torchvision naming)
-                depth, spec = name[len("resnext"):].split("_")
-                groups, base_width = (int(v) for v in spec[:-1].split("x"))
-                layers = int(depth)
-            elif name.startswith("wide_resnet"):
-                depth, mult = name[len("wide_resnet"):].split("_")
-                layers, base_width = int(depth), 64 * int(mult)
-            else:
-                layers = int("".join(c for c in name if c.isdigit()) or 50)
+            def _dt_suffix(tail, stem_type, avg_down):
+                # timm suffix letters: d = deep stem + avg-down shortcuts,
+                # t = deep tiered stem + avg-down (timm resnet.py)
+                if tail.endswith("d"):
+                    return tail[:-1], "deep", True
+                if tail.endswith("t"):
+                    return tail[:-1], "deep_tiered", True
+                return tail, stem_type, avg_down
+
+            try:
+                if name.startswith("resnetrs"):
+                    # ResNet-RS (timm resnetrs50..420): deep stem, strided
+                    # conv stem pool, avg-down shortcuts, SE rd_ratio 0.25
+                    layers = int(name[len("resnetrs"):])
+                    stem_type, avg_down = "deep", True
+                    se_reduction, replace_stem_pool = 4, True
+                elif name.startswith("resnext"):
+                    # resnext<depth>[d|t]_<groups>x<width>d (torchvision /
+                    # timm naming, e.g. seresnext26d_32x4d)
+                    depth, spec = name[len("resnext"):].split("_")
+                    depth, stem_type, avg_down = _dt_suffix(
+                        depth, stem_type, avg_down
+                    )
+                    groups, base_width = (
+                        int(v) for v in spec[:-1].split("x")
+                    )
+                    layers = int(depth)
+                elif name.startswith("wide_resnet"):
+                    depth, mult = name[len("wide_resnet"):].split("_")
+                    layers, base_width = int(depth), 64 * int(mult)
+                else:
+                    tail, stem_type, avg_down = _dt_suffix(
+                        name[len("resnet"):], stem_type, avg_down
+                    )
+                    layers = int(tail)
+            except ValueError:
+                # resnetlight / *_ts / *_gn / 51q-style byobnet names
+                raise ValueError(
+                    f"unknown resnet variant {self.backbone!r}"
+                ) from None
             if layers not in RESNET_SPECS:
                 raise ValueError(f"unknown resnet variant {self.backbone!r}")
             # drop the stride-2 stem tap: 4 skips at strides 4/8/16/32 so the
@@ -141,7 +299,16 @@ class Unet(nn.Module):
             feats = ResNetEncoder(
                 num_layers=layers, train=self.train, dtype=self.dtype,
                 normalize_input=False, groups=groups, base_width=base_width,
-                se_reduction=se_reduction, name="encoder",
+                se_reduction=se_reduction, stem_type=stem_type,
+                stem_width=stem_width, avg_down=avg_down, attn=attn,
+                replace_stem_pool=replace_stem_pool, name="encoder",
+            )(x)[1:]
+        elif backbone.startswith("repvgg_"):
+            from sfmnext_tpu.models.repvgg import RepVGG
+
+            feats = RepVGG(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
             )(x)[1:]
         elif backbone.startswith(("regnetx_", "regnety_")):
             from sfmnext_tpu.models.regnet import RegNet
@@ -190,10 +357,16 @@ class Unet(nn.Module):
                 f"backbone {self.backbone!r}: convnext_* / resnet* / "
                 "resnext* / wide_resnet* / [legacy_]seresnet* / seresnext* / "
                 "regnetx_* / regnety_* / res2net* / res2next* / skresnet* / "
-                "skresnext* / *efficientnet_b[0-7]* / vgg* / densenet* / "
-                "mobilenetv2_* families implemented (+ ssl_/swsl_/tv_/"
-                "gluon-v1b aliases); use backbone='resnet'/'eff_b5' for the "
-                "other reference paths"
+                "skresnext* / resnetrs* / resnetv2_* / resnest* / repvgg_* / "
+                "*efficientnet_b[0-7]* / *efficientnetv2_* / "
+                "*efficientnet_lite* / *efficientnet_e[sml]* / vgg* / "
+                "densenet* / mobilenetv2_* / *mobilenetv3_* / lcnet_* / "
+                "[se]mnasnet_* / spnasnet_* / tinynet_* / rexnet_* / "
+                "xception* / dpn* / ese_vovnet* / darknet* / csp* / "
+                "mobilevit* / hrnet_* / *nfnet* / nf_resnet50 / ghostnet_* / "
+                "senet154 families implemented (+ ssl_/swsl_/tv_/ig_/gluon "
+                "aliases); use backbone='resnet'/'eff_b5' for the other "
+                "reference paths"
             )
         out = UnetDecoder(
             tuple(self.decoder_channels),

@@ -127,6 +127,18 @@ def test_effb5_encoder_decoder_contract():
         "regnetx_002", "regnety_002", "res2net50_48w_2s", "res2next50",
         "legacy_seresnet18", "legacy_seresnext26_32x4d", "skresnet18",
         "ssl_resnet18", "gluon_resnet18_v1b",
+        "resnet10t", "resnet18d", "ecaresnet26t", "gluon_resnet18_v1c",
+        "gluon_resnet18_v1d", "gluon_resnet18_v1s", "seresnext26t_32x4d",
+        "resnetrs50", "ig_resnext101_32x8d", "repvgg_b0",
+        "resnetv2_50x1_bitm", "resnetv2_50d_evos", "resnest14d",
+        "resnest50d_4s2x40d", "rexnet_100", "tf_efficientnetv2_b0",
+        "efficientnet_lite0", "efficientnet_es", "mobilenetv3_large_100",
+        "mobilenetv3_small_050", "tf_mobilenetv3_small_minimal_100",
+        "lcnet_050", "mnasnet_small", "semnasnet_075", "spnasnet_100",
+        "tinynet_e", "xception41", "dpn68", "ese_vovnet19b_dw",
+        "darknet53", "cspresnet50", "mobilevit_xxs", "mobilevitv2_050",
+        "hrnet_w18_small", "eca_nfnet_l0", "nf_resnet50", "ghostnet_100",
+        "gernet_s", "gluon_resnext50_32x4d", "mixnet_s",
     ],
 )
 def test_unet_backbones_half_res_contract(backbone):
@@ -136,3 +148,18 @@ def test_unet_backbones_half_res_contract(backbone):
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
     y = m.apply(v, jnp.zeros((1, 64, 96, 3)))
     assert y.shape == (1, 32, 48, 16)
+
+
+@pytest.mark.parametrize(
+    "backbone",
+    # near-miss names that must NOT silently build a lookalike topology
+    # (ecaresnetlight would otherwise parse as resnet50 + tiered stem)
+    ["ecaresnetlight", "resnet50_gn", "resnet33ts", "seresnet33ts"],
+)
+def test_unet_lookalike_names_rejected(backbone):
+    from sfmnext_tpu.models.unet import Unet
+
+    with pytest.raises(ValueError, match="unknown resnet variant"):
+        Unet(backbone=backbone).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3))
+        )
