@@ -1,0 +1,138 @@
+"""Bring-your-own-blocks ResNet variants ("ts"/"t" models) for the
+timm-Unet backbones.
+
+Covers ``resnet32ts / resnet33ts / seresnet33ts / eca_resnet33ts /
+gcresnet33ts / resnext26ts / seresnext26ts / eca_resnext26ts /
+gcresnext26ts / gcresnext50ts / gcresnet50t`` (networks/Unet.py:
+330-340). Naming: ``t`` = tiered 3x3 stem, trailing ``s`` = SiLU act;
+prefixes pick the attention (se / eca / gc = GCNet global-context,
+Cao et al. ICCVW'19).
+
+These are timm research models without a published paper config table;
+the block plumbing (bottleneck ratio 0.25, group size 32 for the resnext
+flavors, attention after the 3x3, optional 1280-ch final conv) follows
+the timm byobnet recipe. No weight converter is shipped; the shape
+contract is what the tests pin.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sfmnext_tpu.models.common import (
+    BatchNorm,
+    eca_module,
+    kaiming_normal_fanout,
+    se_module,
+)
+
+# name -> (depths, channels, group_size, attn, final_ch, act)
+BYOB_SPECS = {
+    "resnet32ts": ((2, 3, 3, 2), (256, 512, 1536, 1536), 0, "", 0, "silu"),
+    "resnet33ts": ((2, 3, 3, 2), (256, 512, 1536, 1536), 0, "", 1280, "silu"),
+    "seresnet33ts": ((2, 3, 3, 2), (256, 512, 1536, 1536), 0, "se", 1280,
+                     "silu"),
+    "eca_resnet33ts": ((2, 3, 3, 2), (256, 512, 1536, 1536), 0, "eca", 1280,
+                       "silu"),
+    "gcresnet33ts": ((2, 3, 3, 2), (256, 512, 1536, 1536), 0, "gc", 1280,
+                     "silu"),
+    "resnext26ts": ((2, 2, 2, 2), (256, 512, 1024, 2048), 32, "", 0, "silu"),
+    "seresnext26ts": ((2, 2, 2, 2), (256, 512, 1024, 2048), 32, "se", 0,
+                      "silu"),
+    "eca_resnext26ts": ((2, 2, 2, 2), (256, 512, 1024, 2048), 32, "eca", 0,
+                        "silu"),
+    "gcresnext26ts": ((2, 2, 2, 2), (256, 512, 1024, 2048), 32, "gc", 0,
+                      "silu"),
+    "gcresnext50ts": ((3, 4, 6, 3), (256, 512, 1024, 2048), 32, "gc", 0,
+                      "silu"),
+    "gcresnet50t": ((3, 4, 6, 3), (256, 512, 1024, 2048), 0, "gc", 0,
+                    "relu"),
+}
+
+
+def _conv(feat, k, s=1, groups=1, name=None, dtype=None):
+    return nn.Conv(
+        feat, (k, k), strides=(s, s), padding=k // 2,
+        feature_group_count=groups, use_bias=False,
+        kernel_init=kaiming_normal_fanout, dtype=dtype, name=name,
+    )
+
+
+def gc_module(x, dtype, train, name):
+    """GCNet global-context block: softmax-pooled context -> 1x1/LN/relu/
+    1x1 transform -> additive fusion."""
+    b, h, w, c = x.shape
+    attn = nn.Conv(1, (1, 1), dtype=dtype, name=f"{name}_attn")(x)
+    attn = nn.softmax(attn.reshape(b, h * w, 1), axis=1)
+    ctx = (x.reshape(b, h * w, c) * attn).sum(axis=1)[:, None, None, :]
+    rd = max(1, c // 8)
+    t = nn.Conv(rd, (1, 1), dtype=dtype, name=f"{name}_fc1")(ctx)
+    t = nn.LayerNorm(dtype=dtype, name=f"{name}_ln")(t)
+    t = nn.relu(t)
+    t = nn.Conv(c, (1, 1), dtype=dtype, name=f"{name}_fc2")(t)
+    return x + t
+
+
+class ByobResNet(nn.Module):
+    variant: str = "resnet33ts"
+    train: bool = False
+    dtype: object = None
+
+    def _attn(self, y, kind, name):
+        if kind == "se":
+            return se_module(y, max(1, y.shape[-1] // 16), self.dtype, name)
+        if kind == "eca":
+            return eca_module(y, self.dtype, name)
+        if kind == "gc":
+            return gc_module(y, self.dtype, self.train, name)
+        return y
+
+    @nn.compact
+    def __call__(self, x):
+        if self.variant not in BYOB_SPECS:
+            raise ValueError(f"unknown byob variant {self.variant!r}")
+        depths, chans, gs, attn, final, actk = BYOB_SPECS[self.variant]
+        act = nn.silu if actk == "silu" else nn.relu
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        y = x
+        for i, (c, s) in enumerate(zip((24, 32, 64), (2, 1, 1))):
+            y = _conv(c, 3, s, name=f"stem{i}", dtype=self.dtype)(y)
+            y = act(BatchNorm(not self.train, dtype=self.dtype,
+                              name=f"stem{i}_bn")(y))
+        feats = [y]
+
+        for si, (ch, n) in enumerate(zip(chans, depths)):
+            for bi in range(n):
+                stride = 2 if bi == 0 else 1
+                in_ch = y.shape[-1]
+                mid = ch // 4
+                groups = max(1, mid // gs) if gs else 1
+                p = f"s{si}_b{bi}"
+                shortcut = y
+                if stride != 1 or in_ch != ch:
+                    shortcut = _conv(ch, 1, stride, name=f"{p}_short",
+                                     dtype=self.dtype)(y)
+                    shortcut = BatchNorm(not self.train, dtype=self.dtype,
+                                         name=f"{p}_short_bn")(shortcut)
+                z = _conv(mid, 1, name=f"{p}_c1", dtype=self.dtype)(y)
+                z = act(BatchNorm(not self.train, dtype=self.dtype,
+                                  name=f"{p}_c1_bn")(z))
+                z = _conv(mid, 3, stride, groups, name=f"{p}_c2",
+                          dtype=self.dtype)(z)
+                z = act(BatchNorm(not self.train, dtype=self.dtype,
+                                  name=f"{p}_c2_bn")(z))
+                z = self._attn(z, attn, f"{p}_attn")
+                z = _conv(ch, 1, name=f"{p}_c3", dtype=self.dtype)(z)
+                z = BatchNorm(not self.train, dtype=self.dtype,
+                              name=f"{p}_c3_bn")(z)
+                y = act(z + shortcut)
+            feats.append(y)
+        if final:
+            y = _conv(final, 1, name="final", dtype=self.dtype)(y)
+            y = act(BatchNorm(not self.train, dtype=self.dtype,
+                              name="final_bn")(y))
+            feats[-1] = y
+        return feats

@@ -76,6 +76,33 @@ def _attn(y, attn, se_reduction, out_ch, dtype):
     return y
 
 
+def blur_pool(x, dtype=None):
+    """Anti-aliased stride-2 downsample (Zhang ICML'19): fixed binomial
+    [1,2,1]x[1,2,1]/16 depthwise filter, pad 1, stride 2 (timm BlurPool2d
+    used by resnetblur*)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    c = x.shape[-1]
+    f1 = jnp.array([1.0, 2.0, 1.0])
+    k = (f1[:, None] * f1[None, :]) / 16.0
+    k = jnp.broadcast_to(k[:, :, None, None], (3, 3, 1, c))
+    if dtype is not None:
+        k = k.astype(dtype)
+    return lax.conv_general_dilated(
+        x, k.astype(x.dtype), window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
+def _aa_pool(x, aa, dtype):
+    """Post-conv anti-aliased downsample: 'blur' (resnetblur*) or 'avg'
+    (resnetaa* / seresnextaa*, timm aa_layer=AvgPool2d)."""
+    if aa == "blur":
+        return blur_pool(x, dtype)
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
@@ -112,6 +139,7 @@ class Bottleneck(nn.Module):
     se_reduction: int = 0  # >0: SE after bn3 (timm seresnet/seresnext)
     avg_down: bool = False  # timm resnet*d/gluon-v1d shortcut pooling
     attn: str = ""  # "eca": ecaresnet* (after bn3, like SE)
+    aa: str = ""  # "blur"/"avg": anti-aliased stride (resnetblur*/[..]aa*)
 
     @nn.compact
     def __call__(self, x):
@@ -121,13 +149,17 @@ class Bottleneck(nn.Module):
         y = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        # torchvision puts the stride on the 3x3 (ResNet v1.5)
+        # torchvision puts the stride on the 3x3 (ResNet v1.5); with aa the
+        # 3x3 stays s1 and a blur/avg pool takes the stride after the act
+        conv2_s = 1 if (self.aa and self.strides == 2) else self.strides
         y = _conv(
-            width, 3, self.strides, name="conv2", dtype=self.dtype,
+            width, 3, conv2_s, name="conv2", dtype=self.dtype,
             groups=self.groups,
         )(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
+        if self.aa and self.strides == 2:
+            y = _aa_pool(y, self.aa, self.dtype)
         y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn3")(y)
         y = _attn(y, self.attn, self.se_reduction, out_ch, self.dtype)
@@ -163,6 +195,7 @@ class ResNetEncoder(nn.Module):
     avg_down: bool = False  # resnet*d / gluon-v1d shortcut pooling
     attn: str = ""        # "eca": ecaresnet*
     replace_stem_pool: bool = False  # resnetrs: 3x3 s2 conv-BN-relu pool
+    aa: str = ""          # "blur"/"avg" anti-aliased strides
 
     @nn.compact
     def __call__(self, x):
@@ -179,7 +212,7 @@ class ResNetEncoder(nn.Module):
             block = functools.partial(
                 Bottleneck, groups=self.groups, base_width=self.base_width,
                 se_reduction=self.se_reduction, avg_down=self.avg_down,
-                attn=self.attn,
+                attn=self.attn, aa=self.aa,
             )
 
         if self.normalize_input:
@@ -214,6 +247,11 @@ class ResNetEncoder(nn.Module):
             y = BatchNorm(not self.train, dtype=self.dtype,
                           name="stem_pool_bn")(y)
             y = nn.relu(y)
+        elif self.aa:
+            # anti-aliased stem pool: max 3x3 s1 + blur/avg s2
+            y = nn.max_pool(y, (3, 3), strides=(1, 1),
+                            padding=((1, 1), (1, 1)))
+            y = _aa_pool(y, self.aa, self.dtype)
         else:
             y = max_pool_3x3_s2(y)
         for stage, (width, n_blocks) in enumerate(

@@ -78,6 +78,12 @@ class UnetDecoder(nn.Module):
         )(x)
 
 
+def _is_byob(name: str) -> bool:
+    from sfmnext_tpu.models.byob import BYOB_SPECS
+
+    return name in BYOB_SPECS
+
+
 class Unet(nn.Module):
     backbone: str = "convnext_large"
     num_classes: int = 32
@@ -122,6 +128,13 @@ class Unet(nn.Module):
             feats = MobileTrunk(
                 variant=backbone.replace("_pruned", ""),
                 train=self.train, dtype=self.dtype, name="encoder",
+            )(x)
+        elif backbone.startswith("edgenext_"):
+            from sfmnext_tpu.models.edgenext import EdgeNeXt
+
+            feats = EdgeNeXt(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
             )(x)
         elif backbone.startswith("gernet_"):
             from sfmnext_tpu.models.gernet import GerNet
@@ -202,6 +215,13 @@ class Unet(nn.Module):
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)
+        elif _is_byob(backbone):
+            from sfmnext_tpu.models.byob import ByobResNet
+
+            feats = ByobResNet(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
         elif backbone.startswith("resnest"):
             from sfmnext_tpu.models.resnest import ResNeSt
 
@@ -228,6 +248,17 @@ class Unet(nn.Module):
             attn = ""
             stem_type, stem_width, avg_down = "", 32, False
             replace_stem_pool = False
+            aa = ""
+            # anti-aliased strides: resnetblur50 (binomial blur pool),
+            # resnetaa50 / seresnextaa101d_32x8d (avg pool), timm aa_layer
+            for tok, kind in (("blur", "blur"), ("aa", "avg")):
+                for fam in ("resnet", "resnext"):
+                    if name.startswith(f"{fam}{tok}") or (
+                        name.startswith("se") and
+                        name[2:].startswith(f"{fam}{tok}")
+                    ):
+                        aa = kind
+                        name = name.replace(f"{fam}{tok}", fam, 1)
             if name.startswith("gluon_"):
                 # gluon_resnet50_v1c/v1d/v1s: deep stem (v1d adds avg-down
                 # shortcuts, v1s widens the stem to 64) — gluoncv resnetv1b.
@@ -301,7 +332,7 @@ class Unet(nn.Module):
                 normalize_input=False, groups=groups, base_width=base_width,
                 se_reduction=se_reduction, stem_type=stem_type,
                 stem_width=stem_width, avg_down=avg_down, attn=attn,
-                replace_stem_pool=replace_stem_pool, name="encoder",
+                replace_stem_pool=replace_stem_pool, aa=aa, name="encoder",
             )(x)[1:]
         elif backbone.startswith("repvgg_"):
             from sfmnext_tpu.models.repvgg import RepVGG

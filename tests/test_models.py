@@ -139,6 +139,7 @@ def test_effb5_encoder_decoder_contract():
         "darknet53", "cspresnet50", "mobilevit_xxs", "mobilevitv2_050",
         "hrnet_w18_small", "eca_nfnet_l0", "nf_resnet50", "ghostnet_100",
         "gernet_s", "gluon_resnext50_32x4d", "mixnet_s",
+        "resnetblur50", "resnet33ts", "edgenext_xx_small",
     ],
 )
 def test_unet_backbones_half_res_contract(backbone):
@@ -154,7 +155,7 @@ def test_unet_backbones_half_res_contract(backbone):
     "backbone",
     # near-miss names that must NOT silently build a lookalike topology
     # (ecaresnetlight would otherwise parse as resnet50 + tiered stem)
-    ["ecaresnetlight", "resnet50_gn", "resnet33ts", "seresnet33ts"],
+    ["ecaresnetlight", "resnet50_gn", "resnet51q", "resnet61q"],
 )
 def test_unet_lookalike_names_rejected(backbone):
     from sfmnext_tpu.models.unet import Unet
