@@ -72,7 +72,8 @@ class _NormAct(nn.Module):
             )
         if self.kind == "gn":
             return nn.relu(
-                nn.GroupNorm(num_groups=32, dtype=self.dtype, name="norm")(x)
+                nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             name="norm")(x)
             )
         # EvoNorm-S0: x*sigmoid(v x) / group_std * gamma + beta
         c = x.shape[-1]
@@ -131,9 +132,12 @@ class _PlainConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch-style symmetric padding (the BN resnetv2 variants are
+        # regular torch convs in timm; only BiT uses SAME)
+        p = self.kernel // 2
         return nn.Conv(
             self.features, (self.kernel, self.kernel),
-            strides=(self.strides, self.strides), padding="SAME",
+            strides=(self.strides, self.strides), padding=((p, p), (p, p)),
             use_bias=False, kernel_init=kaiming_normal_fanout,
             dtype=self.dtype, name="conv",
         )(x)
@@ -188,9 +192,13 @@ class ResNetV2(nn.Module):
             y = conv(stem_ch, 7, 2, dtype=self.dtype, name="stem")(x)
         feats = [y]
 
-        from sfmnext_tpu.models.common import max_pool_3x3_s2
+        if ws:
+            # timm BiT uses SAME-padded pooling (MaxPool2dSame)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        else:
+            from sfmnext_tpu.models.common import max_pool_3x3_s2
 
-        y = max_pool_3x3_s2(y)
+            y = max_pool_3x3_s2(y)
         for si, (width, n) in enumerate(
             zip((256 * wf, 512 * wf, 1024 * wf, 2048 * wf), depths)
         ):

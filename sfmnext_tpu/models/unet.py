@@ -78,6 +78,105 @@ class UnetDecoder(nn.Module):
         )(x)
 
 
+def parse_resnet_variant(name: str) -> dict:
+    """Parse an (alias-stripped) timm/torchvision resnet-family backbone
+    name into ResNetEncoder kwargs.
+
+    Handles: resnet/resnext/wide_resnet depth-width grammar, [legacy_]se
+    and eca prefixes, gluon v1c/v1d/v1s deep stems, timm d/t stem
+    suffixes, resnetrs, and the blur/aa anti-aliased names. Raises
+    ValueError for lookalike byobnet names (resnetlight, *_ts, *_gn, 51q).
+    Shared by the Unet dispatch and utils/torch_port.convert_unet.
+    """
+    from sfmnext_tpu.models.resnet import RESNET_SPECS
+
+    full = name
+    groups, base_width = 1, 64
+    se_reduction = 0
+    attn = ""
+    stem_type, stem_width, avg_down = "", 32, False
+    replace_stem_pool = False
+    aa = ""
+    # anti-aliased strides: resnetblur50 (binomial blur pool),
+    # resnetaa50 / seresnextaa101d_32x8d (avg pool), timm aa_layer
+    for tok, kind in (("blur", "blur"), ("aa", "avg")):
+        for fam in ("resnet", "resnext"):
+            if name.startswith(f"{fam}{tok}") or (
+                name.startswith("se") and
+                name[2:].startswith(f"{fam}{tok}")
+            ):
+                aa = kind
+                name = name.replace(f"{fam}{tok}", fam, 1)
+    if name.startswith("gluon_"):
+        # gluon_resnet50_v1c/v1d/v1s: deep stem (v1d adds avg-down
+        # shortcuts, v1s widens the stem to 64) — gluoncv resnetv1b.
+        # gluon_[se]resnext*: plain torchvision topology (weight-
+        # source alias; the v1b case is stripped by the Unet dispatch).
+        base, variant = name[len("gluon_"):].rsplit("_", 1)
+        if variant in ("v1c", "v1d", "v1s"):
+            name = base
+            stem_type = "deep"
+            avg_down = variant == "v1d"
+            stem_width = 64 if variant == "v1s" else 32
+        else:
+            name = name[len("gluon_"):]
+    if name.startswith("legacy_"):
+        name = name[len("legacy_"):]
+    if name.startswith("eca"):
+        # ecaresnet26t/50d/50t/101d/269d: efficient channel attention
+        attn = "eca"
+        name = name[len("eca"):]
+    if name.startswith("se"):
+        # seresnet50 / seresnext50_32x4d: ResNet + SE (reduction 16)
+        se_reduction = 16
+        name = name[len("se"):]
+
+    def _dt_suffix(tail, stem_type, avg_down):
+        # timm suffix letters: d = deep stem + avg-down shortcuts,
+        # t = deep tiered stem + avg-down (timm resnet.py)
+        if tail.endswith("d"):
+            return tail[:-1], "deep", True
+        if tail.endswith("t"):
+            return tail[:-1], "deep_tiered", True
+        return tail, stem_type, avg_down
+
+    try:
+        if name.startswith("resnetrs"):
+            # ResNet-RS (timm resnetrs50..420): deep stem, strided
+            # conv stem pool, avg-down shortcuts, SE rd_ratio 0.25
+            layers = int(name[len("resnetrs"):])
+            stem_type, avg_down = "deep", True
+            se_reduction, replace_stem_pool = 4, True
+        elif name.startswith("resnext"):
+            # resnext<depth>[d|t]_<groups>x<width>d (torchvision /
+            # timm naming, e.g. seresnext26d_32x4d)
+            depth, spec = name[len("resnext"):].split("_")
+            depth, stem_type, avg_down = _dt_suffix(
+                depth, stem_type, avg_down
+            )
+            groups, base_width = (int(v) for v in spec[:-1].split("x"))
+            layers = int(depth)
+        elif name.startswith("wide_resnet"):
+            depth, mult = name[len("wide_resnet"):].split("_")
+            layers, base_width = int(depth), 64 * int(mult)
+        else:
+            tail, stem_type, avg_down = _dt_suffix(
+                name[len("resnet"):], stem_type, avg_down
+            )
+            layers = int(tail)
+    except ValueError:
+        # resnetlight / *_ts / *_gn / 51q-style byobnet names
+        raise ValueError(f"unknown resnet variant {full!r}") from None
+    if layers not in RESNET_SPECS:
+        raise ValueError(f"unknown resnet variant {full!r}")
+    return dict(
+        num_layers=layers, groups=groups, base_width=base_width,
+        se_reduction=se_reduction, stem_type=stem_type,
+        stem_width=stem_width, avg_down=avg_down, attn=attn,
+        replace_stem_pool=replace_stem_pool, aa=aa,
+    )
+
+
 def _is_byob(name: str) -> bool:
     from sfmnext_tpu.models.byob import BYOB_SPECS
 
@@ -240,99 +339,14 @@ class Unet(nn.Module):
             ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
              "legacy_seresnet", "legacy_seresnext", "ecaresnet")
         ):
-            from sfmnext_tpu.models.resnet import RESNET_SPECS, ResNetEncoder
+            from sfmnext_tpu.models.resnet import ResNetEncoder
 
-            groups, base_width = 1, 64
-            name = backbone
-            se_reduction = 0
-            attn = ""
-            stem_type, stem_width, avg_down = "", 32, False
-            replace_stem_pool = False
-            aa = ""
-            # anti-aliased strides: resnetblur50 (binomial blur pool),
-            # resnetaa50 / seresnextaa101d_32x8d (avg pool), timm aa_layer
-            for tok, kind in (("blur", "blur"), ("aa", "avg")):
-                for fam in ("resnet", "resnext"):
-                    if name.startswith(f"{fam}{tok}") or (
-                        name.startswith("se") and
-                        name[2:].startswith(f"{fam}{tok}")
-                    ):
-                        aa = kind
-                        name = name.replace(f"{fam}{tok}", fam, 1)
-            if name.startswith("gluon_"):
-                # gluon_resnet50_v1c/v1d/v1s: deep stem (v1d adds avg-down
-                # shortcuts, v1s widens the stem to 64) — gluoncv resnetv1b.
-                # gluon_[se]resnext*: plain torchvision topology (weight-
-                # source alias; the v1b case is stripped earlier).
-                base, variant = name[len("gluon_"):].rsplit("_", 1)
-                if variant in ("v1c", "v1d", "v1s"):
-                    name = base
-                    stem_type = "deep"
-                    avg_down = variant == "v1d"
-                    stem_width = 64 if variant == "v1s" else 32
-                else:
-                    name = name[len("gluon_"):]
-            if name.startswith("legacy_"):
-                name = name[len("legacy_"):]
-            if name.startswith("eca"):
-                # ecaresnet26t/50d/50t/101d/269d: efficient channel attention
-                attn = "eca"
-                name = name[len("eca"):]
-            if name.startswith("se"):
-                # seresnet50 / seresnext50_32x4d: ResNet + SE (reduction 16)
-                se_reduction = 16
-                name = name[len("se"):]
-            def _dt_suffix(tail, stem_type, avg_down):
-                # timm suffix letters: d = deep stem + avg-down shortcuts,
-                # t = deep tiered stem + avg-down (timm resnet.py)
-                if tail.endswith("d"):
-                    return tail[:-1], "deep", True
-                if tail.endswith("t"):
-                    return tail[:-1], "deep_tiered", True
-                return tail, stem_type, avg_down
-
-            try:
-                if name.startswith("resnetrs"):
-                    # ResNet-RS (timm resnetrs50..420): deep stem, strided
-                    # conv stem pool, avg-down shortcuts, SE rd_ratio 0.25
-                    layers = int(name[len("resnetrs"):])
-                    stem_type, avg_down = "deep", True
-                    se_reduction, replace_stem_pool = 4, True
-                elif name.startswith("resnext"):
-                    # resnext<depth>[d|t]_<groups>x<width>d (torchvision /
-                    # timm naming, e.g. seresnext26d_32x4d)
-                    depth, spec = name[len("resnext"):].split("_")
-                    depth, stem_type, avg_down = _dt_suffix(
-                        depth, stem_type, avg_down
-                    )
-                    groups, base_width = (
-                        int(v) for v in spec[:-1].split("x")
-                    )
-                    layers = int(depth)
-                elif name.startswith("wide_resnet"):
-                    depth, mult = name[len("wide_resnet"):].split("_")
-                    layers, base_width = int(depth), 64 * int(mult)
-                else:
-                    tail, stem_type, avg_down = _dt_suffix(
-                        name[len("resnet"):], stem_type, avg_down
-                    )
-                    layers = int(tail)
-            except ValueError:
-                # resnetlight / *_ts / *_gn / 51q-style byobnet names
-                raise ValueError(
-                    f"unknown resnet variant {self.backbone!r}"
-                ) from None
-            if layers not in RESNET_SPECS:
-                raise ValueError(f"unknown resnet variant {self.backbone!r}")
             # drop the stride-2 stem tap: 4 skips at strides 4/8/16/32 so the
             # 4 decoder blocks land at 1/2 resolution (timm features_only
             # convention for resnets gives 5; the wiring is equivalent)
             feats = ResNetEncoder(
-                num_layers=layers, train=self.train, dtype=self.dtype,
-                normalize_input=False, groups=groups, base_width=base_width,
-                se_reduction=se_reduction, stem_type=stem_type,
-                stem_width=stem_width, avg_down=avg_down, attn=attn,
-                replace_stem_pool=replace_stem_pool, aa=aa, name="encoder",
+                train=self.train, dtype=self.dtype, normalize_input=False,
+                name="encoder", **parse_resnet_variant(backbone),
             )(x)[1:]
         elif backbone.startswith("repvgg_"):
             from sfmnext_tpu.models.repvgg import RepVGG

@@ -394,7 +394,9 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
     """Reference Unet checkpoint for any supported timm backbone family."""
     if backbone.startswith("convnext"):
         return convert_convnext_unet(sd, backbone)
-    if "efficientnet" in backbone:
+    import re as _re
+
+    if _re.search(r"efficientnet_b\d", backbone):
         enc_p, enc_s = convert_efficientnet_b5(
             sd, prefix="encoder.", variant=backbone
         )
@@ -403,14 +405,37 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
             {"encoder": enc_p, "decoder": dec_p},
             {"encoder": enc_s, "decoder": dec_s},
         )
-    if backbone.startswith("resnet"):
-        layers = int("".join(c for c in backbone if c.isdigit()) or 50)
+    if backbone.startswith(
+        ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
+         "legacy_seresnet", "legacy_seresnext", "ecaresnet", "gluon_resnet")
+    ) and not backbone.startswith(("resnetv2", "resnetrs", "resnest")):
+        from sfmnext_tpu.models.unet import parse_resnet_variant
+
+        kw = parse_resnet_variant(backbone)
         enc_sd = {
             k[len("encoder."):]: v
             for k, v in sd.items()
             if k.startswith("encoder.")
         }
-        enc_p, enc_s = convert_resnet_encoder(enc_sd, layers)
+        if kw["stem_type"] or kw["attn"] or kw["se_reduction"] \
+                or kw["avg_down"]:
+            enc_p, enc_s = convert_timm_resnet(
+                enc_sd, kw["num_layers"], stem_type=kw["stem_type"],
+                se_reduction=kw["se_reduction"], attn=kw["attn"],
+            )
+        else:
+            enc_p, enc_s = convert_resnet_encoder(enc_sd, kw["num_layers"])
+        dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
+        return (
+            {"encoder": enc_p, "decoder": dec_p},
+            {"encoder": enc_s, "decoder": dec_s},
+        )
+    if backbone.startswith(
+        ("mobilenetv3_", "tf_mobilenetv3_", "efficientnetv2_",
+         "tf_efficientnetv2_", "efficientnet_lite", "tf_efficientnet_lite",
+         "lcnet_", "mnasnet_", "semnasnet_", "spnasnet_", "tinynet_")
+    ):
+        enc_p, enc_s = convert_mobile_trunk(sd, backbone, prefix="encoder.")
         dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
         return (
             {"encoder": enc_p, "decoder": dec_p},
@@ -523,4 +548,223 @@ def convert_regnet(sd: Dict[str, np.ndarray], variant: str,
                 bn_pair(bp, bs, "down_bn", f"{src}.downsample.bn")
             params[dst] = bp
             stats[dst] = bs
+    return params, stats
+
+
+# ------------------------------------------------- timm resnet d/t variants
+
+
+def convert_timm_resnet(sd: Dict[str, np.ndarray], num_layers: int,
+                        stem_type: str = "", se_reduction: int = 0,
+                        attn: str = "", prefix: str = ""):
+    """timm ResNet state_dict (resnet*d/t, seresnet*, ecaresnet*, gluon
+    v1c/v1d/v1s) -> (params, batch_stats) for models.resnet.ResNetEncoder.
+
+    timm naming (timm/models/resnet.py): deep stems are
+    ``conv1.{0,3,6}`` convs with ``conv1.{1,4}`` BNs + final ``bn1``;
+    blocks ``layer{X}.{Y}.conv{1..3}/bn{1..3}`` with the attention module
+    always called ``se`` (SEModule ``se.fc1/fc2``, EcaModule ``se.conv``)
+    and avg-down shortcuts as ``downsample.{1,2}`` (``.0`` is the pool).
+    """
+    from sfmnext_tpu.models.resnet import RESNET_SPECS
+
+    block_kind, stage_sizes = RESNET_SPECS[num_layers]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    if stem_type:
+        for i, (cw, bn_src) in enumerate(
+            (("conv1.0", "conv1.1"), ("conv1.3", "conv1.4"),
+             ("conv1.6", "bn1"))
+        ):
+            params[f"conv1_{i}"] = {
+                "kernel": _conv_w(sd[f"{prefix}{cw}.weight"])
+            }
+            bn_pair(params, stats, f"bn1_{i}", bn_src)
+    else:
+        params["conv1"] = {"kernel": _conv_w(sd[prefix + "conv1.weight"])}
+        bn_pair(params, stats, "bn1", "bn1")
+
+    n_convs = 2 if block_kind == "basic" else 3
+    for stage, n_blocks in enumerate(stage_sizes):
+        for i in range(n_blocks):
+            src = f"layer{stage + 1}.{i}"
+            dst = f"layer{stage + 1}_{i}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for c in range(1, n_convs + 1):
+                bp[f"conv{c}"] = {
+                    "kernel": _conv_w(sd[f"{prefix}{src}.conv{c}.weight"])
+                }
+                bn_pair(bp, bs, f"bn{c}", f"{src}.bn{c}")
+            if se_reduction:
+                bp["se_fc1"] = _conv_pb(sd, f"{prefix}{src}.se.fc1")
+                bp["se_fc2"] = _conv_pb(sd, f"{prefix}{src}.se.fc2")
+            if attn == "eca":
+                w = np.asarray(sd[f"{prefix}{src}.se.conv.weight"])
+                bp["eca_conv"] = {"kernel": np.transpose(w, (2, 1, 0))}
+            if f"{prefix}{src}.downsample.2.running_mean" in sd:
+                # avg_down: downsample = [pool, conv, bn]
+                bp["down_conv"] = {
+                    "kernel": _conv_w(sd[f"{prefix}{src}.downsample.1.weight"])
+                }
+                bn_pair(bp, bs, "down_bn", f"{src}.downsample.2")
+            elif f"{prefix}{src}.downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": _conv_w(sd[f"{prefix}{src}.downsample.0.weight"])
+                }
+                bn_pair(bp, bs, "down_bn", f"{src}.downsample.1")
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats
+
+
+# ----------------------------------------------------- mobile trunk (timm)
+
+
+def convert_mobile_trunk(sd: Dict[str, np.ndarray], variant: str,
+                         prefix: str = ""):
+    """timm efficientnet-builder state_dict (mobilenetv3 / efficientnetv2 /
+    lite / lcnet / mnasnet / tinynet families) -> (params, batch_stats) for
+    models.mobile_builder.MobileTrunk.
+
+    timm naming: ``conv_stem``/``bn1``; ``blocks.{stage}.{idx}.`` with
+    per-type members — ds: conv_dw/bn1/[se]/conv_pw/bn2; ir: conv_pw/bn1/
+    conv_dw/bn2/[se]/conv_pwl/bn3; er: conv_exp/bn1/[se]/conv_pwl/bn2;
+    cn: conv/bn1. SE is ``se.conv_reduce``/``se.conv_expand``.
+    """
+    from sfmnext_tpu.models.mobile_builder import mobile_cfg
+
+    cfg = mobile_cfg(variant)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(dst_name, src):
+        p, s = _bn(sd, prefix + src)
+        params[dst_name] = p
+        stats[dst_name] = s
+
+    params["conv_stem"] = {"kernel": _conv_w(sd[prefix + "conv_stem.weight"])}
+    bn("bn_stem", "bn1")
+
+    for si, stage in enumerate(cfg["stages"]):
+        flat = []
+        for spec in stage:
+            flat += [spec] * spec["repeat"]
+        for bi, spec in enumerate(flat):
+            src = f"blocks.{si}.{bi}"
+            dst = f"s{si}_b{bi}"
+            t = spec["type"]
+
+            def conv(dst_suffix, src_member, b=bi):
+                params[f"{dst}_{dst_suffix}"] = {
+                    "kernel": _conv_w(
+                        sd[f"{prefix}blocks.{si}.{b}.{src_member}.weight"]
+                    )
+                }
+
+            def se():
+                if spec["se"]:
+                    params[f"{dst}_se_reduce"] = _conv_pb(
+                        sd, f"{prefix}{src}.se.conv_reduce")
+                    params[f"{dst}_se_expand"] = _conv_pb(
+                        sd, f"{prefix}{src}.se.conv_expand")
+
+            if t == "cn":
+                conv("conv", "conv")
+                bn(f"{dst}_bn", f"{src}.bn1")
+            elif t in ("ds", "dsa"):
+                conv("dw", "conv_dw")
+                bn(f"{dst}_dw_bn", f"{src}.bn1")
+                se()
+                conv("pw", "conv_pw")
+                bn(f"{dst}_pw_bn", f"{src}.bn2")
+            elif t == "ir":
+                conv("pw_exp", "conv_pw")
+                bn(f"{dst}_pw_exp_bn", f"{src}.bn1")
+                conv("dw", "conv_dw")
+                bn(f"{dst}_dw_bn", f"{src}.bn2")
+                se()
+                conv("pw_proj", "conv_pwl")
+                bn(f"{dst}_pw_proj_bn", f"{src}.bn3")
+            elif t == "er":
+                conv("conv_exp", "conv_exp")
+                bn(f"{dst}_conv_exp_bn", f"{src}.bn1")
+                se()
+                conv("pw_proj", "conv_pwl")
+                bn(f"{dst}_pw_proj_bn", f"{src}.bn2")
+    return params, stats
+
+
+# -------------------------------------------------------- resnetv2 / BiT
+
+
+def convert_resnetv2(sd: Dict[str, np.ndarray], variant: str,
+                     prefix: str = ""):
+    """timm ResNetV2/BiT state_dict -> (params, batch_stats) for
+    models.resnetv2.ResNetV2.
+
+    timm naming: ``stem.conv``; ``stages.{i}.blocks.{j}`` with
+    norm1/conv1/norm2/conv2/norm3/conv3 (pre-act order: norm1 activates the
+    block input) and ``downsample.conv``; trailing ``norm``. Weight-
+    standardized convs store the raw kernel (standardization happens at
+    forward in both frameworks), so kernels copy straight through. BN
+    variants put running stats in batch_stats; GN/EvoNorm variants are
+    parameter-only.
+    """
+    from sfmnext_tpu.models.resnetv2 import resnetv2_cfg
+
+    depths, _, norm, _, stem = resnetv2_cfg(variant)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def norm_mod(dst_p, dst_s, name, src):
+        if norm == "bn":
+            p, s = _bn(sd, prefix + src)
+            dst_p[name] = {"norm": {"BatchNorm_0": p}}
+            dst_s[name] = {"norm": {"BatchNorm_0": s}}
+        else:  # gn: weight/bias -> scale/bias, no stats
+            dst_p[name] = {"norm": {
+                "scale": np.asarray(sd[prefix + src + ".weight"]),
+                "bias": np.asarray(sd[prefix + src + ".bias"]),
+            }}
+
+    def conv(dst, src):
+        params[dst] = {"kernel": _conv_w(sd[prefix + src + ".weight"])}
+
+    if stem == "deep":
+        for i in range(3):
+            conv(f"stem{i}", f"stem.conv{i + 1}")
+    else:
+        conv("stem", "stem.conv")
+
+    for si, d in enumerate(depths):
+        for bi in range(d):
+            src = f"stages.{si}.blocks.{bi}"
+            dst = f"stage{si}_block{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+
+            def bconv(name, member, bp=bp, src=src):
+                bp[name] = {
+                    "kernel": _conv_w(sd[f"{prefix}{src}.{member}.weight"])
+                }
+
+            norm_mod(bp, bs, "preact", f"{src}.norm1")
+            bconv("conv1", "conv1")
+            norm_mod(bp, bs, "na1", f"{src}.norm2")
+            bconv("conv2", "conv2")
+            norm_mod(bp, bs, "na2", f"{src}.norm3")
+            bconv("conv3", "conv3")
+            if f"{prefix}{src}.downsample.conv.weight" in sd:
+                bconv("down_conv", "downsample.conv")
+            params[dst] = bp
+            if bs:
+                stats[dst] = bs
+    norm_mod(params, stats, "norm", "norm")
     return params, stats

@@ -1,0 +1,463 @@
+"""Golden numeric parity for the round-3 backbone mechanisms.
+
+Hand-built torch models with the exact timm state-dict naming (timm is not
+installed here — same approach as tests/test_torch_port_encoders.py),
+random weights AND random BN stats, ported via utils/torch_port, asserted
+feature-for-feature against the Flax trunks:
+
+- timm deep/tiered-stem ResNets with SE / ECA and avg-down shortcuts
+  (the resnet*d/t, seresnet*, ecaresnet*, gluon v1c/v1d/v1s machinery)
+- the mobile-builder trunk (MobileNetV3 small: ds + ir blocks, mnv3-style
+  SE with hard-sigmoid, hswish/relu per-block acts). The torch side uses
+  TF-'SAME' conv padding and BN eps 1e-3 mirroring the trunk's documented
+  convention (models/mobile_builder.py fidelity note).
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from sfmnext_tpu.utils import torch_port as tp
+
+
+def _randomize_bn(module, rng):
+    for m in module.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.from_numpy(
+                rng.randn(m.num_features).astype(np.float32) * 0.1))
+            m.running_var.copy_(torch.from_numpy(
+                (rng.rand(m.num_features) * 0.5 + 0.5).astype(np.float32)))
+
+
+# ------------------------------------------------- timm deep-stem resnets
+
+
+class _SE(nn.Module):
+    def __init__(self, ch, rd):
+        super().__init__()
+        self.fc1 = nn.Conv2d(ch, rd, 1)
+        self.fc2 = nn.Conv2d(rd, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        return x * torch.sigmoid(self.fc2(F.relu(self.fc1(s))))
+
+
+class _ECA(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        t = int(abs((math.log2(ch) + 1.0) / 2.0))
+        k = max(t if t % 2 else t + 1, 3)
+        self.conv = nn.Conv1d(1, 1, k, padding=k // 2, bias=False)
+
+    def forward(self, x):
+        b, c = x.shape[:2]
+        s = x.mean((2, 3)).view(b, 1, c)
+        s = self.conv(s).view(b, c, 1, 1)
+        return x * torch.sigmoid(s)
+
+
+class _TimmBasicBlock(nn.Module):
+    def __init__(self, in_ch, ch, stride, se_rd, attn, avg_down):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, ch, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(ch)
+        self.conv2 = nn.Conv2d(ch, ch, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(ch)
+        if se_rd:
+            self.se = _SE(ch, max(1, ch // se_rd))
+        elif attn == "eca":
+            self.se = _ECA(ch)
+        else:
+            self.se = None
+        if stride != 1 or in_ch != ch:
+            if avg_down and stride != 1:
+                self.downsample = nn.Sequential(
+                    nn.AvgPool2d(2, 2, ceil_mode=True,
+                                 count_include_pad=False),
+                    nn.Conv2d(in_ch, ch, 1, 1, bias=False),
+                    nn.BatchNorm2d(ch),
+                )
+            else:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(in_ch, ch, 1, stride, bias=False),
+                    nn.BatchNorm2d(ch),
+                )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        if self.se is not None:
+            y = self.se(y)
+        sc = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + sc)
+
+
+class TimmDeepStemResNet(nn.Module):
+    """timm resnet18d-style: deep(-tiered) stem + basic blocks."""
+
+    def __init__(self, stem_type, se_rd, attn):
+        super().__init__()
+        sw = 32
+        c0 = 3 * sw // 4 if stem_type == "deep_tiered" else sw
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(3, c0, 3, 2, 1, bias=False), nn.BatchNorm2d(c0),
+            nn.ReLU(), nn.Conv2d(c0, sw, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(sw), nn.ReLU(),
+            nn.Conv2d(sw, 2 * sw, 3, 1, 1, bias=False),
+        )
+        self.bn1 = nn.BatchNorm2d(2 * sw)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        in_ch = 2 * sw
+        for si, ch in enumerate((64, 128, 256, 512)):
+            blocks = []
+            for bi in range(2):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                blocks.append(
+                    _TimmBasicBlock(in_ch, ch, stride, se_rd, attn, True)
+                )
+                in_ch = ch
+            setattr(self, f"layer{si + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        taps = [y]
+        y = self.maxpool(y)
+        for si in range(4):
+            y = getattr(self, f"layer{si + 1}")(y)
+            taps.append(y)
+        return taps
+
+
+@pytest.mark.parametrize(
+    "stem_type,se_rd,attn",
+    [("deep", 16, ""), ("deep_tiered", 0, "eca")],
+)
+def test_timm_resnet_port_matches_torch(stem_type, se_rd, attn):
+    from sfmnext_tpu.models.resnet import ResNetEncoder
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TimmDeepStemResNet(stem_type, se_rd, attn).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_timm_resnet(
+        sd, 18, stem_type=stem_type, se_reduction=se_rd, attn=attn
+    )
+    model = ResNetEncoder(
+        num_layers=18, normalize_input=False, train=False,
+        stem_type=stem_type, stem_width=32, avg_down=True,
+        se_reduction=se_rd, attn=attn,
+    )
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-4, err_msg=f"feature {i}"
+        )
+
+
+# --------------------------------------------------- mobile trunk (mnv3)
+
+
+class _ConvSame(nn.Conv2d):
+    def forward(self, x):
+        ih, iw = x.shape[-2:]
+        k, s = self.kernel_size[0], self.stride[0]
+        ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+        return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                        self.dilation, self.groups)
+
+
+def _bn3(ch):
+    return nn.BatchNorm2d(ch, eps=1e-3)
+
+
+class _MnvSE(nn.Module):
+    """mnv3 SE: rd from expanded chs (divisor 8), relu + hard-sigmoid."""
+
+    def __init__(self, ch, rd):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(ch, rd, 1)
+        self.conv_expand = nn.Conv2d(rd, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(F.relu(self.conv_reduce(s)))
+        return x * F.hardsigmoid(s)
+
+
+class _DsBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, k, stride, se_rd, act):
+        super().__init__()
+        self.conv_dw = _ConvSame(in_ch, in_ch, k, stride, groups=in_ch,
+                                 bias=False)
+        self.bn1 = _bn3(in_ch)
+        self.se = _MnvSE(in_ch, se_rd) if se_rd else None
+        self.conv_pw = _ConvSame(in_ch, out_ch, 1, bias=False)
+        self.bn2 = _bn3(out_ch)
+        self.act = act
+
+    def forward(self, x):
+        y = self.act(self.bn1(self.conv_dw(x)))
+        if self.se is not None:
+            y = self.se(y)
+        y = self.bn2(self.conv_pw(y))
+        if y.shape == x.shape and self.conv_dw.stride[0] == 1:
+            y = y + x
+        return y
+
+
+class _IrBlock(nn.Module):
+    def __init__(self, in_ch, mid, out_ch, k, stride, se_rd, act):
+        super().__init__()
+        self.conv_pw = _ConvSame(in_ch, mid, 1, bias=False)
+        self.bn1 = _bn3(mid)
+        self.conv_dw = _ConvSame(mid, mid, k, stride, groups=mid, bias=False)
+        self.bn2 = _bn3(mid)
+        self.se = _MnvSE(mid, se_rd) if se_rd else None
+        self.conv_pwl = _ConvSame(mid, out_ch, 1, bias=False)
+        self.bn3 = _bn3(out_ch)
+        self.act = act
+        self.has_skip = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        y = self.act(self.bn1(self.conv_pw(x)))
+        y = self.act(self.bn2(self.conv_dw(y)))
+        if self.se is not None:
+            y = self.se(y)
+        y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_skip else y
+
+
+class TorchMNV3Small050(nn.Module):
+    """timm mobilenetv3_small_050 naming, SAME-pad/eps-1e-3 convention."""
+
+    def __init__(self):
+        super().__init__()
+        from sfmnext_tpu.models.mobile_builder import (
+            make_divisible, mobile_cfg,
+        )
+
+        cfg = mobile_cfg("mobilenetv3_small_050")
+        relu, hsw = F.relu, F.hardswish
+        self.conv_stem = _ConvSame(3, cfg["stem"], 3, 2, bias=False)
+        self.bn1 = _bn3(cfg["stem"])
+        in_ch = cfg["stem"]
+        stages = []
+        for stage in cfg["stages"]:
+            blocks = []
+            for spec in stage:
+                for r in range(spec["repeat"]):
+                    stride = spec["stride"] if r == 0 else 1
+                    out_ch = spec["channels"]
+                    act = relu if (spec["act"] or cfg["act"]) == "relu" \
+                        else hsw
+                    if spec["type"] == "cn":
+                        m = nn.Module()
+                        m.conv = _ConvSame(in_ch, out_ch, spec["kernel"],
+                                           bias=False)
+                        m.bn1 = _bn3(out_ch)
+                        m.forward = (
+                            lambda x, m=m, a=act: a(m.bn1(m.conv(x)))
+                        )
+                        blocks.append(m)
+                    elif spec["type"] == "ds":
+                        rd = (make_divisible(in_ch * spec["se"], 8)
+                              if spec["se"] else 0)
+                        blocks.append(_DsBlock(
+                            in_ch, out_ch, spec["kernel"], stride, rd, act))
+                    else:
+                        mid = make_divisible(in_ch * spec["expand"])
+                        rd = (make_divisible(mid * spec["se"], 8)
+                              if spec["se"] else 0)
+                        blocks.append(_IrBlock(
+                            in_ch, mid, out_ch, spec["kernel"], stride, rd,
+                            act))
+                    in_ch = out_ch
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+
+    def forward(self, x):
+        y = F.hardswish(self.bn1(self.conv_stem(x)))
+        taps = {2: y}
+        red = 2
+        for stage in self.blocks:
+            for b in stage:
+                st = getattr(getattr(b, "conv_dw", None), "stride", (1,))[0]
+                y = b(y)
+                if st == 2:
+                    red *= 2
+                taps[red] = y
+        return [taps[r] for r in (2, 4, 8, 16, 32)]
+
+
+def test_mobile_trunk_port_matches_torch():
+    from sfmnext_tpu.models.mobile_builder import MobileTrunk
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchMNV3Small050().eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_mobile_trunk(sd, "mobilenetv3_small_050")
+
+    model = MobileTrunk(variant="mobilenetv3_small_050", train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-4, err_msg=f"feature {i}"
+        )
+
+
+# ----------------------------------------------------- resnetv2 / BiT
+
+
+class _StdConv(nn.Conv2d):
+    """BiT weight-standardized conv with TF-SAME padding (timm
+    StdConv2dSame — matches models.resnetv2.WSConv)."""
+
+    def forward(self, x):
+        w = self.weight
+        mu = w.mean(dim=(1, 2, 3), keepdim=True)
+        var = w.var(dim=(1, 2, 3), keepdim=True, unbiased=False)
+        w = (w - mu) / torch.sqrt(var + 1e-10)
+        ih, iw = x.shape[-2:]
+        k, s = self.kernel_size[0], self.stride[0]
+        ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2])
+        return F.conv2d(x, w, None, self.stride, 0, self.dilation)
+
+
+class _PreactBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, stride):
+        super().__init__()
+        mid = out_ch // 4
+        self.norm1 = nn.GroupNorm(32, in_ch)
+        self.conv1 = _StdConv(in_ch, mid, 1, bias=False)
+        self.norm2 = nn.GroupNorm(32, mid)
+        self.conv2 = _StdConv(mid, mid, 3, stride, 1, bias=False)
+        self.norm3 = nn.GroupNorm(32, mid)
+        self.conv3 = _StdConv(mid, out_ch, 1, bias=False)
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = nn.Module()
+            self.downsample.conv = _StdConv(in_ch, out_ch, 1, stride,
+                                            bias=False)
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        xp = F.relu(self.norm1(x))
+        sc = x if self.downsample is None else self.downsample.conv(xp)
+        y = self.conv1(xp)
+        y = self.conv2(F.relu(self.norm2(y)))
+        y = self.conv3(F.relu(self.norm3(y)))
+        return y + sc
+
+
+class TorchBiT50x1(nn.Module):
+    """timm resnetv2_50x1_bitm naming (stem.conv, stages.i.blocks.j, norm)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Module()
+        self.stem.conv = _StdConv(3, 64, 7, 2, 3, bias=False)
+
+        def _pool_same(x):  # timm MaxPool2dSame
+            ih, iw = x.shape[-2:]
+            ph = max((math.ceil(ih / 2) - 1) * 2 + 3 - ih, 0)
+            pw = max((math.ceil(iw / 2) - 1) * 2 + 3 - iw, 0)
+            x = F.pad(x, [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2],
+                      value=float("-inf"))
+            return F.max_pool2d(x, 3, 2)
+
+        self.maxpool = _pool_same
+        stages = []
+        in_ch = 64
+        for si, (ch, d) in enumerate(
+            zip((256, 512, 1024, 2048), (3, 4, 6, 3))
+        ):
+            blocks = []
+            for bi in range(d):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                blocks.append(_PreactBlock(in_ch, ch, stride))
+                in_ch = ch
+            stage = nn.Module()
+            stage.blocks = nn.Sequential(*blocks)
+            stages.append(stage)
+        self.stages = nn.Sequential(*stages)
+        self.norm = nn.GroupNorm(32, 2048)
+
+    def forward(self, x):
+        y = self.stem.conv(x)
+        taps = [y]
+        y = self.maxpool(y)
+        for stage in self.stages:
+            y = stage.blocks(y)
+            taps.append(y)
+        taps[-1] = F.relu(self.norm(taps[-1]))
+        return taps
+
+
+def test_resnetv2_bit_port_matches_torch():
+    from sfmnext_tpu.models.resnetv2 import ResNetV2
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchBiT50x1().eval()
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_resnetv2(sd, "resnetv2_50x1_bitm")
+
+    model = ResNetV2(variant="resnetv2_50x1_bitm", train=False)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    got = model.apply(
+        variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        # preact residual streams reach |x|~100 with no normalization
+        # damping; f32 reduction-order drift accumulates to ~1e-2 absolute
+        # (~5e-5 relative) over 16 blocks
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-2, err_msg=f"feature {i}"
+        )
