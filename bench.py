@@ -20,13 +20,47 @@ import time
 REFERENCE_IMGS_PER_SEC_EST = 10.0
 
 
+def _device_watchdog(seconds: int = 180):
+    """Fail fast with a diagnostic if the TPU tunnel is hung.
+
+    When the axon relay is down, backend init sleeps in a retry loop
+    forever; without this the bench hangs until the driver's timeout with
+    no explanation. The timer is cancelled once devices respond.
+    """
+    import threading
+
+    def bail():
+        print(
+            json.dumps(
+                {
+                    "metric": "kitti_320x1024_res50_train_imgs_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "imgs/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend init exceeded {seconds}s — "
+                             "axon tunnel down?",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _device_watchdog()
     import jax
 
     # Persistent compile cache: first bench run pays the (remote) XLA
     # compile; reruns start in seconds.
     jax.config.update("jax_compilation_cache_dir", "/tmp/sfmnext_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.devices()  # force backend init under the watchdog
+    watchdog.cancel()
     import jax.numpy as jnp
 
     from sfmnext_tpu.config import Options
