@@ -40,6 +40,8 @@ EFFICIENTNET_COEFFS = {
     "efficientnet_b5": (1.6, 2.2),
     "efficientnet_b6": (1.8, 2.6),
     "efficientnet_b7": (2.0, 3.1),
+    "efficientnet_b8": (2.2, 3.6),
+    "efficientnet_l2": (4.3, 5.3),  # tf_efficientnet_l2_ns[_475]
 }
 
 
@@ -56,7 +58,7 @@ def efficientnet_cfg(name: str):
     import math
     import re
 
-    m = re.search(r"efficientnet_(b\d)", name)
+    m = re.search(r"efficientnet_(b\d|l2)", name)
     if not m or f"efficientnet_{m.group(1)}" not in EFFICIENTNET_COEFFS:
         raise ValueError(f"unknown efficientnet variant {name!r}")
     w, d = EFFICIENTNET_COEFFS[f"efficientnet_{m.group(1)}"]

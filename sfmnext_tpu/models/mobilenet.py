@@ -12,6 +12,8 @@ stride (2/4/8/16/32), tapped at the expansion layer boundary.
 
 from __future__ import annotations
 
+import math
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -21,10 +23,15 @@ from sfmnext_tpu.models.common import BatchNorm, kaiming_normal_fanout
 _V2_BLOCKS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
               (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
 
+# width, depth multiplier, fixed (unscaled) stem — timm _gen_mobilenet_v2:
+# the 'd' variants scale depth (ceil, first/last stage pinned) and keep
+# the 32-ch stem
 MOBILENET_WIDTHS = {
-    "mobilenetv2_050": 0.5,
-    "mobilenetv2_100": 1.0,
-    "mobilenetv2_140": 1.4,
+    "mobilenetv2_050": (0.5, 1.0, False),
+    "mobilenetv2_100": (1.0, 1.0, False),
+    "mobilenetv2_110d": (1.1, 1.2, True),
+    "mobilenetv2_120d": (1.2, 1.4, True),
+    "mobilenetv2_140": (1.4, 1.0, False),
 }
 
 
@@ -83,19 +90,22 @@ class MobileNetV2(nn.Module):
     def __call__(self, x):
         if self.variant not in MOBILENET_WIDTHS:
             raise ValueError(f"unknown mobilenet variant {self.variant!r}")
-        width = MOBILENET_WIDTHS[self.variant]
+        width, depth, fix_stem = MOBILENET_WIDTHS[self.variant]
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
         y = _conv_bn(
-            x, _make_divisible(32 * width), 3, 2, self.train, self.dtype,
-            "stem",
+            x, 32 if fix_stem else _make_divisible(32 * width), 3, 2,
+            self.train, self.dtype, "stem",
         )
         feats = []
         stride = 2
         bi = 0
-        for t, c, n, s in _V2_BLOCKS:
+        n_stages = len(_V2_BLOCKS)
+        for si, (t, c, n, s) in enumerate(_V2_BLOCKS):
             ch = _make_divisible(c * width)
+            if depth != 1.0 and si not in (0, n_stages - 1):
+                n = int(math.ceil(n * depth))
             for i in range(n):
                 blk_s = s if i == 0 else 1
                 if blk_s == 2:

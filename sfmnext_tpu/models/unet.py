@@ -205,13 +205,13 @@ class Unet(nn.Module):
             feats = ConvNeXt(
                 depths, dims, self.train, self.dtype, name="encoder"
             )(x)
-        elif re.search(r"efficientnet_b\d", backbone):
+        elif re.search(r"efficientnet_(b\d|l2)", backbone):
             from sfmnext_tpu.models.efficientnet import EfficientNet
 
             # 5 stride taps -> 4 skip-connected decoder blocks end at 1/2
             # resolution (timm features_only convention, Unet.py:114-117)
             feats = EfficientNet(
-                variant=self.backbone, features_only=True,
+                variant=backbone, features_only=True,
                 train=self.train, dtype=self.dtype, name="encoder",
             )(x)
         elif backbone.startswith(
@@ -355,6 +355,22 @@ class Unet(nn.Module):
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)[1:]
+        elif backbone.startswith("regnetz_") and not backbone.startswith(
+            ("regnetz_040",)
+        ):
+            from sfmnext_tpu.models.regnetz import RegNetZ
+
+            feats = RegNetZ(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
+        elif backbone.startswith("regnetv_"):
+            from sfmnext_tpu.models.regnetz import RegNetV
+
+            feats = RegNetV(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)[1:]
         elif backbone.startswith(("regnetx_", "regnety_")):
             from sfmnext_tpu.models.regnet import RegNet
 
@@ -376,25 +392,25 @@ class Unet(nn.Module):
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)[1:]
-        elif self.backbone.startswith("vgg"):
+        elif backbone.startswith("vgg"):
             from sfmnext_tpu.models.vgg import VGG
 
             feats = VGG(
-                variant=self.backbone, train=self.train, dtype=self.dtype,
+                variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)
-        elif self.backbone.startswith("densenet"):
+        elif backbone.startswith("densenet"):
             from sfmnext_tpu.models.densenet import DenseNet
 
             feats = DenseNet(
-                variant=self.backbone, train=self.train, dtype=self.dtype,
+                variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)
-        elif self.backbone.startswith("mobilenetv2"):
+        elif backbone.startswith("mobilenetv2"):
             from sfmnext_tpu.models.mobilenet import MobileNetV2
 
             feats = MobileNetV2(
-                variant=self.backbone, train=self.train, dtype=self.dtype,
+                variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)
         else:
