@@ -211,3 +211,117 @@ class CSPNet(nn.Module):
         else:
             raise ValueError(f"unknown cspnet variant {self.variant!r}")
         return feats
+
+
+# ------------------------------------------------------------- cs3 (C3) --
+
+
+# name -> (widths, depths, stem_ch, focus_stem, se, edge_blocks)
+CS3_SPECS = {
+    "cs3darknet_m": ((96, 192, 384, 768), (2, 4, 6, 2), 48, False, False,
+                     False),
+    "cs3darknet_l": ((128, 256, 512, 1024), (3, 6, 9, 3), 64, False, False,
+                     False),
+    "cs3darknet_x": ((160, 320, 640, 1280), (4, 8, 12, 4), 80, False, False,
+                     False),
+    "cs3darknet_focus_m": ((96, 192, 384, 768), (2, 4, 6, 2), 48, True,
+                           False, False),
+    "cs3darknet_focus_l": ((128, 256, 512, 1024), (3, 6, 9, 3), 64, True,
+                           False, False),
+    "cs3sedarknet_l": ((128, 256, 512, 1024), (3, 6, 9, 3), 64, False, True,
+                       False),
+    "cs3sedarknet_x": ((160, 320, 640, 1280), (4, 8, 12, 4), 80, False, True,
+                       False),
+    "cs3edgenet_x": ((160, 320, 640, 1280), (4, 8, 12, 4), 80, False, False,
+                     True),
+    "cs3se_edgenet_x": ((160, 320, 640, 1280), (4, 8, 12, 4), 80, False,
+                        True, True),
+}
+
+
+class _CS3Bottleneck(nn.Module):
+    """1x1 -> 3x3 residual bottleneck (YOLOv5 C3 inner block); the edge
+    flavor uses a 3x3 expand -> 1x1 project instead."""
+
+    channels: int
+    se: bool = False
+    edge: bool = False
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.channels
+        if self.edge:
+            y = _CBA(c * 2, 3, act="leaky", train=self.train,
+                     dtype=self.dtype, name="c1")(x)
+            y = _CBA(c, 1, act="leaky", train=self.train, dtype=self.dtype,
+                     name="c2")(y)
+        else:
+            y = _CBA(c, 1, act="leaky", train=self.train, dtype=self.dtype,
+                     name="c1")(x)
+            y = _CBA(c, 3, act="leaky", train=self.train, dtype=self.dtype,
+                     name="c2")(y)
+        if self.se:
+            s = y.mean(axis=(1, 2), keepdims=True)
+            s = nn.Conv(max(1, c // 16), (1, 1), dtype=self.dtype,
+                        name="se_fc1")(s)
+            s = nn.relu(s)
+            s = nn.Conv(c, (1, 1), dtype=self.dtype, name="se_fc2")(s)
+            y = y * nn.sigmoid(s)
+        return x + y
+
+
+class CS3Net(nn.Module):
+    """CSP-v3 ("C3") darknet trunks — cs3darknet[_focus]_m/l/x,
+    cs3sedarknet_l/x, cs3[se_]edgenet_x (timm cspnet research models;
+    docs/backbone_fidelity.md tier 3). SiLU-family activation is
+    approximated with the module-wide LeakyReLU(0.1) of the darknet
+    lineage."""
+
+    variant: str = "cs3darknet_l"
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.variant not in CS3_SPECS:
+            raise ValueError(f"unknown cs3 variant {self.variant!r}")
+        widths, depths, stem_ch, focus, se, edge = CS3_SPECS[self.variant]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        if focus:
+            # YOLOv5-v6 "focus" stem: one 6x6 stride-2 conv
+            y = nn.Conv(
+                stem_ch, (6, 6), strides=(2, 2), padding=2, use_bias=False,
+                kernel_init=kaiming_normal_fanout, dtype=self.dtype,
+                name="stem_conv",
+            )(x)
+            y = BatchNorm(not self.train, dtype=self.dtype, name="stem_bn")(y)
+            y = _leaky(y)
+        else:
+            y = _CBA(stem_ch // 2, 3, 2, train=self.train, dtype=self.dtype,
+                     name="stem0")(x)
+            y = _CBA(stem_ch, 3, 1, train=self.train, dtype=self.dtype,
+                     name="stem1")(y)
+        feats = [y]
+
+        for si, (ch, n) in enumerate(zip(widths, depths)):
+            y = _CBA(ch, 3, 2, train=self.train, dtype=self.dtype,
+                     name=f"s{si}_down")(y)
+            half = ch // 2
+            xa = _CBA(half, 1, train=self.train, dtype=self.dtype,
+                      name=f"s{si}_csp_a")(y)
+            xb = _CBA(half, 1, train=self.train, dtype=self.dtype,
+                      name=f"s{si}_csp_b")(y)
+            for bi in range(n):
+                xa = _CS3Bottleneck(
+                    half, se, edge, self.train, self.dtype,
+                    name=f"s{si}_b{bi}",
+                )(xa)
+            y = _CBA(ch, 1, train=self.train, dtype=self.dtype,
+                     name=f"s{si}_out")(
+                jnp.concatenate([xa, xb], axis=-1))
+            feats.append(y)
+        return feats

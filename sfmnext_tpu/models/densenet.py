@@ -58,17 +58,41 @@ class DenseNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.variant not in DENSENET_SPECS:
+        # densenetblur121d (timm): deep 3-conv stem + blur-pooled stem
+        # max pool; dense blocks unchanged
+        name = self.variant
+        deep_stem = blur = False
+        if name.startswith("densenetblur") and name.endswith("d"):
+            deep_stem = blur = True
+            name = "densenet" + name[len("densenetblur"):-1]
+        if name not in DENSENET_SPECS:
             raise ValueError(f"unknown densenet variant {self.variant!r}")
-        growth, blocks, stem_ch = DENSENET_SPECS[self.variant]
+        growth, blocks, stem_ch = DENSENET_SPECS[name]
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        y = _conv(stem_ch, 7, 2, name="conv0", dtype=self.dtype)(x)
-        y = BatchNorm(not self.train, dtype=self.dtype, name="norm0")(y)
-        y = nn.relu(y)
+        if deep_stem:
+            y = x
+            for i, (c, s) in enumerate(
+                zip((stem_ch // 2, stem_ch // 2, stem_ch), (2, 1, 1))
+            ):
+                y = _conv(c, 3, s, name=f"conv0_{i}", dtype=self.dtype)(y)
+                y = BatchNorm(not self.train, dtype=self.dtype,
+                              name=f"norm0_{i}")(y)
+                y = nn.relu(y)
+        else:
+            y = _conv(stem_ch, 7, 2, name="conv0", dtype=self.dtype)(x)
+            y = BatchNorm(not self.train, dtype=self.dtype, name="norm0")(y)
+            y = nn.relu(y)
         feats = [y]
-        y = max_pool_3x3_s2(y)
+        if blur:
+            from sfmnext_tpu.models.resnet import blur_pool
+
+            y = nn.max_pool(y, (3, 3), strides=(1, 1),
+                            padding=((1, 1), (1, 1)))
+            y = blur_pool(y, self.dtype)
+        else:
+            y = max_pool_3x3_s2(y)
 
         for bi, n_layers in enumerate(blocks):
             for li in range(n_layers):

@@ -259,6 +259,16 @@ _MIXNET_COEFFS = {  # (arch, stem, width, depth)
     "s": (_MIXNET_S, 16, 1.0, 1.0), "m": (_MIXNET_M, 24, 1.0, 1.0),
     "l": (_MIXNET_M, 24, 1.3, 1.0), "xl": (_MIXNET_M, 24, 1.6, 1.2),
 }
+_FBNETC = [  # FBNet-C (Wu et al. CVPR'19 table 2)
+    ["ir_r1_k3_s1_e1_c16"],
+    ["ir_r1_k3_s2_e6_c24", "ir_r2_k3_s1_e1_c24"],
+    ["ir_r1_k5_s2_e6_c32", "ir_r1_k5_s1_e3_c32", "ir_r1_k3_s1_e6_c32",
+     "ir_r1_k5_s1_e6_c32"],
+    ["ir_r1_k5_s2_e6_c64", "ir_r1_k5_s1_e3_c64", "ir_r2_k5_s1_e6_c64"],
+    ["ir_r3_k5_s1_e6_c112", "ir_r1_k5_s1_e3_c112"],
+    ["ir_r4_k5_s2_e6_c184"],
+    ["ir_r1_k3_s1_e6_c352"],
+]
 _TINYNET_COEFFS = {  # (width, depth) — Han et al. NeurIPS'20 table 6
     "a": (1.0, 1.2), "b": (0.75, 1.1), "c": (0.54, 0.85),
     "d": (0.68, 0.54), "e": (0.51, 0.6),
@@ -300,7 +310,12 @@ def mobile_cfg(name: str) -> dict:
     w, d = 1.0, 1.0
     fix_first_last = False
     scale_stem = False
+    gc_attn = False
 
+    if name.startswith("gc_efficientnetv2_"):
+        # gc_efficientnetv2_rw_t: SE replaced by GCNet global context
+        gc_attn = True
+        name = name[len("gc_"):]
     if name.startswith("efficientnetv2_"):
         v = name[len("efficientnetv2_"):]
         act, se = "silu", _SE_EFF
@@ -360,6 +375,8 @@ def mobile_cfg(name: str) -> dict:
         arch, stem, act, se = _MNASNET_B1, 32, "relu", _SE_MNAS
         w = int(name[len("mnasnet_"):]) / 100.0
         scale_stem = True
+    elif name == "fbnetc_100":
+        arch, stem, act, se = _FBNETC, 16, "relu", _SE_MNAS
     elif name == "spnasnet_100":
         arch, stem, act, se = _SPNASNET, 32, "relu", _SE_MNAS
     elif name.startswith("mixnet_"):
@@ -394,7 +411,7 @@ def mobile_cfg(name: str) -> dict:
         stages.append(blocks)
 
     return dict(
-        stages=stages, act=act, se=se,
+        stages=stages, act=act, se=se, gc=gc_attn,
         stem=make_divisible(stem * w) if scale_stem else stem,
     )
 
@@ -457,9 +474,13 @@ class MobileTrunk(nn.Module):
 
         return jnp.concatenate(parts, axis=-1)
 
-    def _se(self, x, spec, se_cfg, act, prefix):
+    def _se(self, x, spec, se_cfg, act, prefix, gc=False):
         if not spec["se"]:
             return x
+        if gc:
+            from sfmnext_tpu.models.byob import gc_module
+
+            return gc_module(x, self.dtype, self.train, f"{prefix}_gc")
         in_ch, mid = spec["_in"], x.shape[-1]
         base = in_ch if se_cfg["base"] == "in" else mid
         se_ch = max(1, int(base * spec["se"]))
@@ -509,7 +530,7 @@ class MobileTrunk(nn.Module):
                     elif t in ("ds", "dsa"):
                         y = self._mixed_dw(y, spec["kernel"], stride, p)
                         y = bact(self._bn(y, f"{p}_dw_bn"))
-                        y = self._se(y, sp, se_cfg, act, p)
+                        y = self._se(y, sp, se_cfg, act, p, cfg["gc"])
                         y = self._conv(y, out_ch, 1, name=f"{p}_pw")
                         y = self._bn(y, f"{p}_pw_bn")
                         if t == "dsa":
@@ -525,7 +546,7 @@ class MobileTrunk(nn.Module):
                         y = bact(self._bn(y, f"{p}_pw_exp_bn"))
                         y = self._mixed_dw(y, spec["kernel"], stride, p)
                         y = bact(self._bn(y, f"{p}_dw_bn"))
-                        y = self._se(y, sp, se_cfg, act, p)
+                        y = self._se(y, sp, se_cfg, act, p, cfg["gc"])
                         y = self._conv(y, out_ch, 1,
                                        groups=spec["proj_groups"],
                                        name=f"{p}_pw_proj")
@@ -539,7 +560,7 @@ class MobileTrunk(nn.Module):
                         y = self._conv(y, mid, spec["kernel"], stride,
                                        name=f"{p}_conv_exp")
                         y = bact(self._bn(y, f"{p}_conv_exp_bn"))
-                        y = self._se(y, sp, se_cfg, act, p)
+                        y = self._se(y, sp, se_cfg, act, p, cfg["gc"])
                         y = self._conv(y, out_ch, 1, name=f"{p}_pw_proj")
                         y = self._bn(y, f"{p}_pw_proj_bn")
                         if (stride == 1 and in_ch == out_ch

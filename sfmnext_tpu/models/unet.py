@@ -218,7 +218,8 @@ class Unet(nn.Module):
             ("efficientnetv2_", "tf_efficientnetv2_", "efficientnet_lite",
              "tf_efficientnet_lite", "efficientnet_e", "tf_efficientnet_e",
              "mobilenetv3_", "tf_mobilenetv3_", "lcnet_", "mnasnet_",
-             "semnasnet_", "spnasnet_", "tinynet_", "mixnet_", "tf_mixnet_")
+             "semnasnet_", "spnasnet_", "tinynet_", "mixnet_", "tf_mixnet_",
+             "fbnetc_", "gc_efficientnetv2_")
         ):
             from sfmnext_tpu.models.mobile_builder import MobileTrunk
 
@@ -275,6 +276,13 @@ class Unet(nn.Module):
             from sfmnext_tpu.models.mobilevit import MobileViT
 
             feats = MobileViT(
+                variant=backbone, train=self.train, dtype=self.dtype,
+                name="encoder",
+            )(x)
+        elif backbone.startswith("cs3"):
+            from sfmnext_tpu.models.cspnet import CS3Net
+
+            feats = CS3Net(
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)

@@ -140,7 +140,7 @@ def test_effb5_encoder_decoder_contract():
         "hrnet_w18_small", "eca_nfnet_l0", "nf_resnet50", "ghostnet_100",
         "gernet_s", "gluon_resnext50_32x4d", "mixnet_s",
         "resnetblur50", "resnet33ts", "edgenext_xx_small",
-        "regnetz_b16", "mobilenetv2_110d",
+        "regnetz_b16", "mobilenetv2_110d", "cs3darknet_m", "fbnetc_100",
     ],
 )
 def test_unet_backbones_half_res_contract(backbone):
