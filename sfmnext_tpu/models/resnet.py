@@ -36,6 +36,7 @@ RESNET_SPECS = {
     152: ("bottleneck", (3, 8, 36, 3)),
     200: ("bottleneck", (3, 24, 36, 3)),  # timm resnet200d
     269: ("bottleneck", (3, 30, 48, 8)),  # timm ecaresnet269d
+    -1: ("bottleneck", (1, 1, 11, 3)),    # timm ecaresnetlight
     270: ("bottleneck", (4, 29, 53, 4)),  # resnetrs270
     350: ("bottleneck", (4, 36, 72, 4)),  # resnetrs350
     420: ("bottleneck", (4, 44, 87, 4)),  # resnetrs420
@@ -58,14 +59,22 @@ def _conv(features, kernel, strides=1, name=None, dtype=None, groups=1):
     )
 
 
-def _downsample(x, out_ch, strides, avg_down, train, dtype):
+def _downsample(x, out_ch, strides, avg_down, train, dtype, norm="bn"):
     """Projection shortcut; ``avg_down`` = timm's ResNet-D variant
     (AvgPool(2,2,ceil) then 1x1 stride-1 conv instead of a strided 1x1)."""
     if avg_down and strides != 1:
         x = avg_pool_2x2_s2_ceil(x)
         strides = 1
     x = _conv(out_ch, 1, strides, name="down_conv", dtype=dtype)(x)
-    return BatchNorm(not train, dtype=dtype, name="down_bn")(x)
+    return _norm(x, train, dtype, "down_bn", norm)
+
+
+def _norm(x, train, dtype, name, kind="bn"):
+    """BatchNorm (torch defaults) or GroupNorm-32 (timm resnet50_gn)."""
+    if kind == "gn":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype,
+                            name=name)(x)
+    return BatchNorm(not train, dtype=dtype, name=name)(x)
 
 
 def _attn(y, attn, se_reduction, out_ch, dtype):
@@ -140,6 +149,7 @@ class Bottleneck(nn.Module):
     avg_down: bool = False  # timm resnet*d/gluon-v1d shortcut pooling
     attn: str = ""  # "eca": ecaresnet* (after bn3, like SE)
     aa: str = ""  # "blur"/"avg": anti-aliased stride (resnetblur*/[..]aa*)
+    norm: str = "bn"  # "gn": GroupNorm-32 (timm resnet50_gn)
 
     @nn.compact
     def __call__(self, x):
@@ -147,7 +157,7 @@ class Bottleneck(nn.Module):
         width = int(self.features * (self.base_width / 64.0)) * self.groups
         identity = x
         y = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
-        y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
+        y = _norm(y, self.train, self.dtype, "bn1", self.norm)
         y = nn.relu(y)
         # torchvision puts the stride on the 3x3 (ResNet v1.5); with aa the
         # 3x3 stays s1 and a blur/avg pool takes the stride after the act
@@ -156,16 +166,17 @@ class Bottleneck(nn.Module):
             width, 3, conv2_s, name="conv2", dtype=self.dtype,
             groups=self.groups,
         )(y)
-        y = BatchNorm(not self.train, dtype=self.dtype, name="bn2")(y)
+        y = _norm(y, self.train, self.dtype, "bn2", self.norm)
         y = nn.relu(y)
         if self.aa and self.strides == 2:
             y = _aa_pool(y, self.aa, self.dtype)
         y = _conv(out_ch, 1, 1, name="conv3", dtype=self.dtype)(y)
-        y = BatchNorm(not self.train, dtype=self.dtype, name="bn3")(y)
+        y = _norm(y, self.train, self.dtype, "bn3", self.norm)
         y = _attn(y, self.attn, self.se_reduction, out_ch, self.dtype)
         if self.strides != 1 or identity.shape[-1] != out_ch:
             identity = _downsample(
-                x, out_ch, self.strides, self.avg_down, self.train, self.dtype
+                x, out_ch, self.strides, self.avg_down, self.train,
+                self.dtype, self.norm,
             )
         return nn.relu(y + identity)
 
@@ -196,6 +207,7 @@ class ResNetEncoder(nn.Module):
     attn: str = ""        # "eca": ecaresnet*
     replace_stem_pool: bool = False  # resnetrs: 3x3 s2 conv-BN-relu pool
     aa: str = ""          # "blur"/"avg" anti-aliased strides
+    norm: str = "bn"      # "gn": GroupNorm-32 (timm resnet50_gn)
 
     @nn.compact
     def __call__(self, x):
@@ -212,7 +224,7 @@ class ResNetEncoder(nn.Module):
             block = functools.partial(
                 Bottleneck, groups=self.groups, base_width=self.base_width,
                 se_reduction=self.se_reduction, avg_down=self.avg_down,
-                attn=self.attn, aa=self.aa,
+                attn=self.attn, aa=self.aa, norm=self.norm,
             )
 
         if self.normalize_input:
@@ -237,7 +249,7 @@ class ResNetEncoder(nn.Module):
                 y = nn.relu(y)
         else:
             y = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
-            y = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(y)
+            y = _norm(y, self.train, self.dtype, "bn1", self.norm)
             y = nn.relu(y)
         features.append(y)
 

@@ -84,13 +84,28 @@ def parse_resnet_variant(name: str) -> dict:
 
     Handles: resnet/resnext/wide_resnet depth-width grammar, [legacy_]se
     and eca prefixes, gluon v1c/v1d/v1s deep stems, timm d/t stem
-    suffixes, resnetrs, and the blur/aa anti-aliased names. Raises
-    ValueError for lookalike byobnet names (resnetlight, *_ts, *_gn, 51q).
+    suffixes, resnetrs, the blur/aa anti-aliased names, resnet50_gn and
+    ecaresnetlight. Raises ValueError for lookalike byobnet names
+    (*_ts handled separately, 51q/61q unsupported).
     Shared by the Unet dispatch and utils/torch_port.convert_unet.
     """
     from sfmnext_tpu.models.resnet import RESNET_SPECS
 
     full = name
+    if name == "ecaresnetlight":
+        # timm: bottleneck depths (1,1,11,3), avg-down shortcuts, ECA,
+        # classic 7x7 stem
+        return dict(
+            num_layers=-1, groups=1, base_width=64, se_reduction=0,
+            stem_type="", stem_width=32, avg_down=True, attn="eca",
+            replace_stem_pool=False, aa="", norm="bn",
+        )
+    if name == "resnet50_gn":
+        return dict(
+            num_layers=50, groups=1, base_width=64, se_reduction=0,
+            stem_type="", stem_width=32, avg_down=False, attn="",
+            replace_stem_pool=False, aa="", norm="gn",
+        )
     groups, base_width = 1, 64
     se_reduction = 0
     attn = ""
@@ -173,7 +188,7 @@ def parse_resnet_variant(name: str) -> dict:
         num_layers=layers, groups=groups, base_width=base_width,
         se_reduction=se_reduction, stem_type=stem_type,
         stem_width=stem_width, avg_down=avg_down, attn=attn,
-        replace_stem_pool=replace_stem_pool, aa=aa,
+        replace_stem_pool=replace_stem_pool, aa=aa, norm="bn",
     )
 
 

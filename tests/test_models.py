@@ -155,8 +155,7 @@ def test_unet_backbones_half_res_contract(backbone):
 @pytest.mark.parametrize(
     "backbone",
     # near-miss names that must NOT silently build a lookalike topology
-    # (ecaresnetlight would otherwise parse as resnet50 + tiered stem)
-    ["ecaresnetlight", "resnet50_gn", "resnet51q", "resnet61q"],
+    ["resnet51q", "resnet61q", "resnetfoo", "resnext50_32y4d"],
 )
 def test_unet_lookalike_names_rejected(backbone):
     from sfmnext_tpu.models.unet import Unet
