@@ -768,3 +768,53 @@ def convert_resnetv2(sd: Dict[str, np.ndarray], variant: str,
                 stats[dst] = bs
     norm_mod(params, stats, "norm", "norm")
     return params, stats
+
+
+# ------------------------------------------------------------------ nfnet
+
+
+def convert_nfnet(sd: Dict[str, np.ndarray], variant: str,
+                  prefix: str = ""):
+    """timm NFNet state_dict -> params for models.nfnet.NFNet.
+
+    timm naming (timm/models/nfnet.py): ``stem.conv1..conv4`` scaled-std
+    convs (weight / gain / bias); ``stages.{i}.{j}`` blocks with
+    conv1/conv2/conv2b/conv3, ``attn_last.fc1/fc2`` SE, ``downsample.conv``
+    and ``skipinit_gain``. Normalizer-free: no batch stats anywhere.
+    """
+    from sfmnext_tpu.models.nfnet import NFNET_SPECS
+
+    depths = NFNET_SPECS[variant][0]
+    dbl = NFNET_SPECS[variant][3]
+    params: Dict[str, Any] = {}
+
+    def std_conv(dst, src):
+        params_dst = {
+            "kernel": _conv_w(sd[f"{prefix}{src}.weight"]),
+            "gain": np.asarray(sd[f"{prefix}{src}.gain"]).reshape(-1),
+            "bias": np.asarray(sd[f"{prefix}{src}.bias"]).reshape(-1),
+        }
+        return params_dst
+
+    for i in range(4):
+        params[f"stem{i}"] = std_conv(f"stem{i}", f"stem.conv{i + 1}")
+
+    for si, d in enumerate(depths):
+        for bi in range(d):
+            src = f"stages.{si}.{bi}"
+            dst = f"s{si}_b{bi}"
+            bp: Dict[str, Any] = {}
+            for c in ("conv1", "conv2", "conv3") + (
+                ("conv2b",) if dbl else ()
+            ):
+                bp[c] = std_conv(c, f"{src}.{c}")
+            if f"{prefix}{src}.downsample.conv.weight" in sd:
+                bp["down"] = std_conv("down", f"{src}.downsample.conv")
+            if f"{prefix}{src}.attn_last.fc1.weight" in sd:
+                bp["se_fc1"] = _conv_pb(sd, f"{prefix}{src}.attn_last.fc1")
+                bp["se_fc2"] = _conv_pb(sd, f"{prefix}{src}.attn_last.fc2")
+            bp["skipinit_gain"] = np.asarray(
+                sd[f"{prefix}{src}.skipinit_gain"]
+            ).reshape(())
+            params[dst] = bp
+    return params

@@ -461,3 +461,150 @@ def test_resnetv2_bit_port_matches_torch():
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=2e-2, err_msg=f"feature {i}"
         )
+
+
+# ------------------------------------------------------------- nfnet
+
+
+class _TStdConv(nn.Conv2d):
+    """DeepMind scaled WS conv mirroring models.nfnet.ScaledStdConv:
+    w_hat = gain * (w - mean) / sqrt(var * fan_in + 1e-10), bias after."""
+
+    def __init__(self, in_ch, out_ch, k, s=1, groups=1):
+        super().__init__(in_ch, out_ch, k, s, padding=k // 2, groups=groups,
+                         bias=True)
+        self.gain = nn.Parameter(torch.ones(out_ch, 1, 1, 1))
+
+    def forward(self, x):
+        w = self.weight
+        fan_in = w[0].numel()
+        mu = w.mean(dim=(1, 2, 3), keepdim=True)
+        var = w.var(dim=(1, 2, 3), keepdim=True, unbiased=False)
+        w = self.gain * (w - mu) / torch.sqrt(var * fan_in + 1e-10)
+        y = F.conv2d(x, w, None, self.stride, self.padding, self.dilation,
+                     self.groups)
+        return y + self.bias.view(1, -1, 1, 1)
+
+
+_G_GELU = 1.7015043497085571
+
+
+def _tgelu(x):
+    return F.gelu(x) * _G_GELU
+
+
+class _NFBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, stride, beta, gw=128):
+        super().__init__()
+        mid = int(out_ch * 0.5)
+        groups = max(1, mid // gw)
+        mid = groups * gw
+        self.beta = beta
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = nn.Module()
+            self.downsample.conv = _TStdConv(in_ch, out_ch, 1)
+        else:
+            self.downsample = None
+        self.conv1 = _TStdConv(in_ch, mid, 1)
+        self.conv2 = _TStdConv(mid, mid, 3, stride, groups=groups)
+        self.conv2b = _TStdConv(mid, mid, 3, 1, groups=groups)
+        self.conv3 = _TStdConv(mid, out_ch, 1)
+        self.attn_last = nn.Module()
+        rd = max(1, int(out_ch * 0.5))
+        self.attn_last.fc1 = nn.Conv2d(out_ch, rd, 1)
+        self.attn_last.fc2 = nn.Conv2d(rd, out_ch, 1)
+        self.skipinit_gain = nn.Parameter(torch.zeros(()))
+        self.stride = stride
+
+    def forward(self, x):
+        y = _tgelu(x) * (1.0 / self.beta)
+        sc = x
+        if self.downsample is not None:
+            s = y
+            if self.stride != 1:
+                s = F.avg_pool2d(s, 2, 2)
+            sc = self.downsample.conv(s)
+        y = _tgelu(self.conv1(y))
+        y = _tgelu(self.conv2(y))
+        y = _tgelu(self.conv2b(y))
+        y = self.conv3(y)
+        a = y.mean((2, 3), keepdim=True)
+        a = self.attn_last.fc2(F.relu(self.attn_last.fc1(a)))
+        y = y * (2.0 * torch.sigmoid(a))
+        return sc + 0.2 * self.skipinit_gain * y
+
+
+class TorchNFNetF0(nn.Module):
+    """timm dm_nfnet_f0 naming (stem.conv1-4, stages.i.j, attn_last)."""
+
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Module()
+        chs = (16, 32, 64, 128)
+        strides = (2, 1, 1, 2)
+        in_c = 3
+        for i, (c, s) in enumerate(zip(chs, strides)):
+            setattr(self.stem, f"conv{i + 1}", _TStdConv(in_c, c, 3, s))
+            in_c = c
+        import math as _m
+
+        stages = []
+        expected_var = 1.0
+        in_ch = 128
+        for si, (ch, d) in enumerate(
+            zip((256, 512, 1536, 1536), (1, 2, 6, 3))
+        ):
+            blocks = []
+            for bi in range(d):
+                beta = _m.sqrt(expected_var)
+                blocks.append(_NFBlock(
+                    in_ch, ch, 2 if (bi == 0 and si > 0) else 1, beta))
+                expected_var = (1.0 if bi == 0 else expected_var) + 0.2 ** 2
+                in_ch = ch
+            stages.append(nn.Sequential(*blocks))
+        self.stages = nn.Sequential(*stages)
+
+    def forward(self, x):
+        y = x
+        for i in range(4):
+            if i == 3:
+                stem_tap = y
+            y = getattr(self.stem, f"conv{i + 1}")(y)
+            if i < 3:
+                y = _tgelu(y)
+        taps = [stem_tap]
+        for stage in self.stages:
+            y = stage(y)
+            taps.append(y)
+        taps[-1] = _tgelu(taps[-1])
+        return taps
+
+
+def test_nfnet_port_matches_torch():
+    from sfmnext_tpu.models.nfnet import NFNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchNFNetF0().eval()
+    # non-zero skipinit gains so the residual branch is exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if hasattr(m, "skipinit_gain"):
+                m.skipinit_gain.fill_(0.5)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = tp.convert_nfnet(sd, "dm_nfnet_f0")
+
+    model = NFNet(variant="dm_nfnet_f0", train=False)
+    got = model.apply({"params": params},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-3, err_msg=f"feature {i}"
+        )
