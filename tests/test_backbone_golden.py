@@ -608,3 +608,167 @@ def test_nfnet_port_matches_torch():
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=2e-3, err_msg=f"feature {i}"
         )
+
+
+# ------------------------------------------- mobile trunk (efficientnetv2)
+
+
+class _CnBlock(nn.Module):
+    """timm ConvBnAct block (v2 stage 0) with residual."""
+
+    def __init__(self, in_ch, out_ch, k, stride, act):
+        super().__init__()
+        self.conv = _ConvSame(in_ch, out_ch, k, stride, bias=False)
+        self.bn1 = _bn3(out_ch)
+        self.act = act
+        self.has_skip = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        y = self.act(self.bn1(self.conv(x)))
+        return y + x if self.has_skip else y
+
+
+class _ErBlock(nn.Module):
+    """timm EdgeResidual (fused-MBConv)."""
+
+    def __init__(self, in_ch, mid, out_ch, k, stride, se_rd, act):
+        super().__init__()
+        self.conv_exp = _ConvSame(in_ch, mid, k, stride, bias=False)
+        self.bn1 = _bn3(mid)
+        self.se = _EffSE(mid, se_rd, act) if se_rd else None
+        self.conv_pwl = _ConvSame(mid, out_ch, 1, bias=False)
+        self.bn2 = _bn3(out_ch)
+        self.act = act
+        self.has_skip = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        y = self.act(self.bn1(self.conv_exp(x)))
+        if self.se is not None:
+            y = self.se(y)
+        y = self.bn2(self.conv_pwl(y))
+        return y + x if self.has_skip else y
+
+
+class _EffSE(nn.Module):
+    """efficientnet SE: sigmoid gate, block act inside."""
+
+    def __init__(self, ch, rd, act):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(ch, rd, 1)
+        self.conv_expand = nn.Conv2d(rd, ch, 1)
+        self.act = act
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class _IrBlockEff(nn.Module):
+    """ir block with efficientnet-style SE (sigmoid, silu inside)."""
+
+    def __init__(self, in_ch, mid, out_ch, k, stride, se_rd, act):
+        super().__init__()
+        self.conv_pw = _ConvSame(in_ch, mid, 1, bias=False)
+        self.bn1 = _bn3(mid)
+        self.conv_dw = _ConvSame(mid, mid, k, stride, groups=mid, bias=False)
+        self.bn2 = _bn3(mid)
+        self.se = _EffSE(mid, se_rd, act) if se_rd else None
+        self.conv_pwl = _ConvSame(mid, out_ch, 1, bias=False)
+        self.bn3 = _bn3(out_ch)
+        self.act = act
+        self.has_skip = stride == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        y = self.act(self.bn1(self.conv_pw(x)))
+        y = self.act(self.bn2(self.conv_dw(y)))
+        if self.se is not None:
+            y = self.se(y)
+        y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_skip else y
+
+
+class TorchEffV2B0(nn.Module):
+    """timm tf_efficientnetv2_b0 naming."""
+
+    def __init__(self):
+        super().__init__()
+        from sfmnext_tpu.models.mobile_builder import (
+            make_divisible, mobile_cfg,
+        )
+
+        cfg = mobile_cfg("tf_efficientnetv2_b0")
+        act = F.silu
+        self.conv_stem = _ConvSame(3, cfg["stem"], 3, 2, bias=False)
+        self.bn1 = _bn3(cfg["stem"])
+        in_ch = cfg["stem"]
+        stages = []
+        for stage in cfg["stages"]:
+            blocks = []
+            for spec in stage:
+                for r in range(spec["repeat"]):
+                    stride = spec["stride"] if r == 0 else 1
+                    out_ch = spec["channels"]
+                    if spec["type"] == "cn":
+                        blocks.append(_CnBlock(
+                            in_ch, out_ch, spec["kernel"], stride, act))
+                    elif spec["type"] == "er":
+                        mid = make_divisible(in_ch * spec["expand"])
+                        blocks.append(_ErBlock(
+                            in_ch, mid, out_ch, spec["kernel"], stride,
+                            0, act))
+                    else:
+                        mid = make_divisible(in_ch * spec["expand"])
+                        rd = max(1, int(in_ch * spec["se"]))
+                        blocks.append(_IrBlockEff(
+                            in_ch, mid, out_ch, spec["kernel"], stride,
+                            rd, act))
+                    in_ch = out_ch
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+
+    def forward(self, x):
+        y = F.silu(self.bn1(self.conv_stem(x)))
+        taps, red = {2: y}, 2
+        for stage in self.blocks:
+            for b in stage:
+                st = 1
+                for attr in ("conv_dw", "conv_exp", "conv"):
+                    m = getattr(b, attr, None)
+                    if m is not None:
+                        st = m.stride[0]
+                        break
+                y = b(y)
+                if st == 2:
+                    red *= 2
+                taps[red] = y
+        return [taps[r] for r in (2, 4, 8, 16, 32)]
+
+
+def test_efficientnetv2_port_matches_torch():
+    from sfmnext_tpu.models.mobile_builder import MobileTrunk
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchEffV2B0().eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_mobile_trunk(sd, "tf_efficientnetv2_b0")
+
+    model = MobileTrunk(variant="tf_efficientnetv2_b0", train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=2e-4, err_msg=f"feature {i}"
+        )
