@@ -818,3 +818,66 @@ def convert_nfnet(sd: Dict[str, np.ndarray], variant: str,
             ).reshape(())
             params[dst] = bp
     return params
+
+
+# -------------------------------------------------------------------- dpn
+
+
+def convert_dpn(sd: Dict[str, np.ndarray], variant: str, prefix: str = ""):
+    """timm DPN state_dict -> (params, batch_stats) for models.dpn.DPN.
+
+    timm naming (timm/models/dpn.py): ``features.conv1_1.conv/.bn`` stem;
+    blocks ``features.conv{stage+2}_{idx+1}`` with pre-act BnActConv2d
+    members ``c1x1_w_s1``/``c1x1_w_s2`` (proj/down), ``c1x1_a``,
+    ``c3x3_b`` and either ``c1x1_c`` or (b-flavor) ``c1x1_c1``/``c1x1_c2``
+    (each ``.bn`` + ``.conv``); trailing ``features.conv5_bn_ac.bn``.
+    """
+    from sfmnext_tpu.models.dpn import DPN_SPECS
+
+    k_sec, b = DPN_SPECS[variant][4], DPN_SPECS[variant][6]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["stem_conv"] = {
+        "kernel": _conv_w(sd[prefix + "features.conv1_1.conv.weight"])
+    }
+    p, s = _bn(sd, prefix + "features.conv1_1.bn")
+    params["stem_bn"] = {"BatchNorm_0": p}
+    stats["stem_bn"] = {"BatchNorm_0": s}
+
+    for si, n in enumerate(k_sec):
+        for bi in range(n):
+            src = f"features.conv{si + 2}_{bi + 1}"
+            dst = f"stage{si}_block{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+
+            def bac(name, member, bp=bp, bs=bs, src=src):
+                p_, s_ = _bn(sd, f"{prefix}{src}.{member}.bn")
+                bp[f"{name}_bn"] = {"BatchNorm_0": p_}
+                bs[f"{name}_bn"] = {"BatchNorm_0": s_}
+                bp[f"{name}_conv"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.{member}.conv.weight"])}
+
+            for member in ("c1x1_w_s1", "c1x1_w_s2"):
+                if f"{prefix}{src}.{member}.conv.weight" in sd:
+                    bac("w", member)
+            bac("a", "c1x1_a")
+            bac("b", "c3x3_b")
+            if b:
+                p_, s_ = _bn(sd, f"{prefix}{src}.c1x1_c.bn")
+                bp["c_bn"] = {"BatchNorm_0": p_}
+                bs["c_bn"] = {"BatchNorm_0": s_}
+                bp["c1_conv"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.c1x1_c1.conv.weight"])}
+                bp["c2_conv"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.c1x1_c2.conv.weight"])}
+            else:
+                bac("c", "c1x1_c")
+            params[dst] = bp
+            stats[dst] = bs
+
+    p, s = _bn(sd, prefix + "features.conv5_bn_ac.bn")
+    params["norm"] = {"BatchNorm_0": p}
+    stats["norm"] = {"BatchNorm_0": s}
+    return params, stats

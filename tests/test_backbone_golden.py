@@ -772,3 +772,138 @@ def test_efficientnetv2_port_matches_torch():
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=2e-4, err_msg=f"feature {i}"
         )
+
+
+# --------------------------------------------------------------- dpn
+
+
+class _BnActConv(nn.Module):
+    def __init__(self, in_ch, out_ch, k, s=1, groups=1):
+        super().__init__()
+        self.bn = nn.BatchNorm2d(in_ch)
+        self.conv = nn.Conv2d(in_ch, out_ch, k, s, padding=k // 2,
+                              groups=groups, bias=False)
+
+    def forward(self, x):
+        return self.conv(F.relu(self.bn(x)))
+
+
+class _TorchDualPathBlock(nn.Module):
+    def __init__(self, in_ch, r, bw, inc, groups, kind, b):
+        super().__init__()
+        self.bw, self.b, self.kind = bw, b, kind
+        if kind == "proj":
+            self.c1x1_w_s1 = _BnActConv(in_ch, bw + 2 * inc, 1, 1)
+        elif kind == "down":
+            self.c1x1_w_s2 = _BnActConv(in_ch, bw + 2 * inc, 1, 2)
+        stride = 2 if kind == "down" else 1
+        self.c1x1_a = _BnActConv(in_ch, r, 1)
+        self.c3x3_b = _BnActConv(r, r, 3, stride, groups)
+        if b:
+            self.c1x1_c = nn.Module()
+            self.c1x1_c.bn = nn.BatchNorm2d(r)
+            self.c1x1_c1 = nn.Module()
+            self.c1x1_c1.conv = nn.Conv2d(r, bw, 1, bias=False)
+            self.c1x1_c2 = nn.Module()
+            self.c1x1_c2.conv = nn.Conv2d(r, inc, 1, bias=False)
+        else:
+            self.c1x1_c = _BnActConv(r, bw + inc, 1)
+
+    def forward(self, res, dense):
+        x_in = torch.cat([res, dense], dim=1)
+        if self.kind == "proj":
+            w = self.c1x1_w_s1(x_in)
+        elif self.kind == "down":
+            w = self.c1x1_w_s2(x_in)
+        else:
+            w = None
+        if w is not None:
+            res_s, dense_s = w[:, : self.bw], w[:, self.bw:]
+        else:
+            res_s, dense_s = res, dense
+        y = self.c1x1_a(x_in)
+        y = self.c3x3_b(y)
+        if self.b:
+            y = F.relu(self.c1x1_c.bn(y))
+            c1 = self.c1x1_c1.conv(y)
+            c2 = self.c1x1_c2.conv(y)
+        else:
+            y = self.c1x1_c(y)
+            c1, c2 = y[:, : self.bw], y[:, self.bw:]
+        return res_s + c1, torch.cat([dense_s, c2], dim=1)
+
+
+class TorchDPN68(nn.Module):
+    """timm dpn68/dpn68b naming (features.convX_Y)."""
+
+    def __init__(self, b=False):
+        super().__init__()
+        from sfmnext_tpu.models.dpn import DPN_SPECS
+
+        variant = "dpn68b" if b else "dpn68"
+        small, init_f, k_r, groups, k_sec, inc_sec, _ = DPN_SPECS[variant]
+        feats = nn.Module()
+        feats.conv1_1 = nn.Module()
+        feats.conv1_1.conv = nn.Conv2d(3, init_f, 3, 2, 1, bias=False)
+        feats.conv1_1.bn = nn.BatchNorm2d(init_f)
+        in_ch = init_f
+        bwf = 1 if small else 4
+        self.k_sec = k_sec
+        for si in range(4):
+            bw = 64 * (2 ** si) * bwf
+            r = k_r * (2 ** si)
+            inc = inc_sec[si]
+            for bi in range(k_sec[si]):
+                kind = ("proj" if si == 0 else "down") if bi == 0 \
+                    else "normal"
+                blk = _TorchDualPathBlock(in_ch, r, bw, inc, groups, kind, b)
+                setattr(feats, f"conv{si + 2}_{bi + 1}", blk)
+                in_ch = bw + inc * (3 if bi == 0 else 1) if bi == 0 else \
+                    in_ch + inc
+        feats.conv5_bn_ac = nn.Module()
+        feats.conv5_bn_ac.bn = nn.BatchNorm2d(in_ch)
+        self.features = feats
+
+    def forward(self, x):
+        f = self.features
+        y = F.relu(f.conv1_1.bn(f.conv1_1.conv(x)))
+        taps = [y]
+        y = F.max_pool2d(y, 3, 2, 1)
+        res, dense = y, y[:, :0]
+        for si in range(4):
+            for bi in range(self.k_sec[si]):
+                res, dense = getattr(f, f"conv{si + 2}_{bi + 1}")(res, dense)
+            taps.append(torch.cat([res, dense], dim=1))
+        taps[-1] = F.relu(f.conv5_bn_ac.bn(taps[-1]))
+        return taps
+
+
+@pytest.mark.parametrize("bflav", [False, True])
+def test_dpn_port_matches_torch(bflav):
+    from sfmnext_tpu.models.dpn import DPN
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchDPN68(bflav).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    variant = "dpn68b" if bflav else "dpn68"
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_dpn(sd, variant)
+
+    model = DPN(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
