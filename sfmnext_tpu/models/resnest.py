@@ -69,8 +69,11 @@ class SplitAttnConv(nn.Module):
         else:
             gap = y.mean(axis=(1, 2), keepdims=True)
         inter = max(c * r // 4, 32)
-        a = _conv(inter, 1, groups=self.cardinality, name="fc1",
-                  dtype=self.dtype)(gap)
+        a = nn.Conv(
+            inter, (1, 1), feature_group_count=self.cardinality,
+            use_bias=True, kernel_init=kaiming_normal_fanout,
+            dtype=self.dtype, name="fc1",
+        )(gap)
         a = BatchNorm(not self.train, dtype=self.dtype, name="bn1")(a)
         a = nn.relu(a)
         a = nn.Conv(

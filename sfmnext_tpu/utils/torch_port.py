@@ -881,3 +881,78 @@ def convert_dpn(sd: Dict[str, np.ndarray], variant: str, prefix: str = ""):
     params["norm"] = {"BatchNorm_0": p}
     stats["norm"] = {"BatchNorm_0": s}
     return params, stats
+
+
+# ----------------------------------------------------------------- resnest
+
+
+def convert_resnest(sd: Dict[str, np.ndarray], variant: str,
+                    prefix: str = ""):
+    """timm ResNeSt state_dict -> (params, batch_stats) for
+    models.resnest.ResNeSt.
+
+    timm naming: deep stem ``conv1.{0,3,6}`` + ``conv1.{1,4}``/``bn1``
+    BNs; blocks ``layer{X}.{Y}`` with conv1/bn1, the split-attention
+    ``conv2`` (``conv2.conv``/``conv2.bn0``/``conv2.fc1``/``conv2.bn1``/
+    ``conv2.fc2``), conv3/bn3 and avg-down ``downsample.{1,2}``.
+
+    Fidelity: for cardinality == 1 (all six mainline resnest models) the
+    attention-channel layout matches timm exactly. The two
+    radix/cardinality ablations (1s4x24d / 4s2x40d) use radix-major
+    r-softmax grouping where timm's rSoftMax is cardinality-major — a
+    fixed channel permutation of fc2; converted ablation checkpoints
+    would need that permutation applied.
+    """
+    from sfmnext_tpu.models.resnest import RESNEST_SPECS
+
+    depths = RESNEST_SPECS[variant][0]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    for i, (cw, bn_src) in enumerate(
+        (("conv1.0", "conv1.1"), ("conv1.3", "conv1.4"), ("conv1.6", "bn1"))
+    ):
+        params[f"conv1_{i}"] = {"kernel": _conv_w(sd[f"{prefix}{cw}.weight"])}
+        bn_pair(params, stats, f"bn1_{i}", bn_src)
+
+    for stage, n in enumerate(depths):
+        for bi in range(n):
+            src = f"layer{stage + 1}.{bi}"
+            dst = f"layer{stage + 1}_{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            bp["conv1"] = {"kernel": _conv_w(sd[f"{prefix}{src}.conv1.weight"])}
+            bn_pair(bp, bs, "bn1", f"{src}.bn1")
+            sa_p: Dict[str, Any] = {
+                "conv": {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.conv2.conv.weight"])},
+                "fc1": {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.conv2.fc1.weight"])},
+                "fc2": _conv_pb(sd, f"{prefix}{src}.conv2.fc2"),
+            }
+            sa_s: Dict[str, Any] = {}
+            p, s = _bn(sd, f"{prefix}{src}.conv2.bn0")
+            sa_p["bn0"] = {"BatchNorm_0": p}
+            sa_s["bn0"] = {"BatchNorm_0": s}
+            p, s = _bn(sd, f"{prefix}{src}.conv2.bn1")
+            sa_p["bn1"] = {"BatchNorm_0": p}
+            sa_s["bn1"] = {"BatchNorm_0": s}
+            if f"{prefix}{src}.conv2.fc1.bias" in sd:
+                sa_p["fc1"]["bias"] = np.asarray(
+                    sd[f"{prefix}{src}.conv2.fc1.bias"])
+            bp["conv2"] = sa_p
+            bs["conv2"] = sa_s
+            bp["conv3"] = {"kernel": _conv_w(sd[f"{prefix}{src}.conv3.weight"])}
+            bn_pair(bp, bs, "bn3", f"{src}.bn3")
+            if f"{prefix}{src}.downsample.1.weight" in sd:
+                bp["down_conv"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.downsample.1.weight"])}
+                bn_pair(bp, bs, "down_bn", f"{src}.downsample.2")
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats

@@ -907,3 +907,139 @@ def test_dpn_port_matches_torch(bflav):
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# ------------------------------------------------------------- resnest
+
+
+class _TorchSplAt(nn.Module):
+    """timm SplAtConv2d (radix-major channel blocks, r-softmax)."""
+
+    def __init__(self, in_ch, ch, radix, cardinality):
+        super().__init__()
+        self.radix, self.card, self.ch = radix, cardinality, ch
+        self.conv = nn.Conv2d(in_ch, ch * radix, 3, 1, 1,
+                              groups=cardinality * radix, bias=False)
+        self.bn0 = nn.BatchNorm2d(ch * radix)
+        inter = max(ch * radix // 4, 32)
+        self.fc1 = nn.Conv2d(ch, inter, 1, groups=cardinality)
+        self.bn1 = nn.BatchNorm2d(inter)
+        self.fc2 = nn.Conv2d(inter, ch * radix, 1, groups=cardinality)
+
+    def forward(self, x):
+        b = x.shape[0]
+        y = F.relu(self.bn0(self.conv(x)))
+        if self.radix > 1:
+            sp = y.reshape(b, self.radix, self.ch, *y.shape[2:])
+            gap = sp.sum(1).mean((2, 3), keepdim=True)
+        else:
+            gap = y.mean((2, 3), keepdim=True)
+        a = F.relu(self.bn1(self.fc1(gap)))
+        a = self.fc2(a)
+        if self.radix > 1:
+            att = F.softmax(a.reshape(b, self.radix, self.ch), dim=1)
+            att = att.reshape(b, self.radix, self.ch, 1, 1)
+            return (sp * att).sum(1)
+        return y * torch.sigmoid(a)
+
+
+class _TorchResNeStBlock(nn.Module):
+    def __init__(self, in_ch, planes, stride, radix, card, base_w):
+        super().__init__()
+        out_ch = planes * 4
+        gw = int(planes * (base_w / 64.0)) * card
+        self.conv1 = nn.Conv2d(in_ch, gw, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(gw)
+        self.conv2 = _TorchSplAt(gw, gw, radix, card)
+        self.stride = stride
+        self.conv3 = nn.Conv2d(gw, out_ch, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_ch)
+        if stride != 1 or in_ch != out_ch:
+            mods = []
+            if stride != 1:
+                mods.append(nn.AvgPool2d(2, 2, ceil_mode=True,
+                                         count_include_pad=False))
+            else:
+                mods.append(nn.Identity())
+            mods += [nn.Conv2d(in_ch, out_ch, 1, bias=False),
+                     nn.BatchNorm2d(out_ch)]
+            self.downsample = nn.Sequential(*mods)
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.conv2(y)
+        if self.stride > 1:
+            y = F.avg_pool2d(y, 3, 2, 1, count_include_pad=False)
+        y = self.bn3(self.conv3(y))
+        sc = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + sc)
+
+
+class TorchResNeSt(nn.Module):
+    """timm resnest naming (deep stem conv1.{0,3,6}, layerX.Y)."""
+
+    def __init__(self, variant):
+        super().__init__()
+        from sfmnext_tpu.models.resnest import RESNEST_SPECS
+
+        depths, sw, radix, card, base_w = RESNEST_SPECS[variant]
+        self.depths = depths
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(3, sw, 3, 2, 1, bias=False), nn.BatchNorm2d(sw),
+            nn.ReLU(), nn.Conv2d(sw, sw, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(sw), nn.ReLU(),
+            nn.Conv2d(sw, sw * 2, 3, 1, 1, bias=False),
+        )
+        self.bn1 = nn.BatchNorm2d(sw * 2)
+        in_ch = sw * 2
+        for si, planes in enumerate((64, 128, 256, 512)):
+            blocks = []
+            for bi in range(depths[si]):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                blocks.append(_TorchResNeStBlock(
+                    in_ch, planes, stride, radix, card, base_w))
+                in_ch = planes * 4
+            setattr(self, f"layer{si + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        taps = [y]
+        y = F.max_pool2d(y, 3, 2, 1)
+        for si in range(4):
+            y = getattr(self, f"layer{si + 1}")(y)
+            taps.append(y)
+        return taps
+
+
+@pytest.mark.parametrize(
+    "variant", ["resnest14d", "resnest50d_1s4x24d", "resnest50d_4s2x40d"]
+)
+def test_resnest_port_matches_torch(variant):
+    from sfmnext_tpu.models.resnest import ResNeSt
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchResNeSt(variant).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_resnest(sd, variant)
+
+    model = ResNeSt(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
