@@ -34,6 +34,7 @@ import math
 import re
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from sfmnext_tpu.models.common import kaiming_normal_fanout
 
@@ -470,8 +471,6 @@ class MobileTrunk(nn.Module):
                            name=f"{prefix}_dw{j}")
             )
             off += cj
-        import jax.numpy as jnp
-
         return jnp.concatenate(parts, axis=-1)
 
     def _se(self, x, spec, se_cfg, act, prefix, gc=False):
