@@ -52,7 +52,7 @@ def decode_block(s: str) -> dict:
     spec = dict(
         type=parts[0], repeat=1, kernel=3, stride=1, expand=1.0,
         channels=0, se=0.0, act=None, noskip=False, skip=False, fake_in=0,
-        exp_groups=1, proj_groups=1,
+        exp_groups=1, proj_groups=1, experts=0,
     )
     for p in parts[1:]:
         if p == "noskip":
@@ -69,6 +69,9 @@ def decode_block(s: str) -> dict:
             spec["se"] = float(p[2:])
         elif p.startswith("fc"):
             spec["fake_in"] = int(p[2:])
+        elif p.startswith("cc"):
+            # CondConv experts (tf_efficientnet_cc_*), e.g. cc4
+            spec["experts"] = int(p[2:])
         elif p[0] == "k" and "." in p:
             # mixnet mixed depthwise kernels, e.g. k3.5.7
             spec["kernel"] = tuple(int(v) for v in p[1:].split("."))
@@ -260,6 +263,15 @@ _MIXNET_COEFFS = {  # (arch, stem, width, depth)
     "s": (_MIXNET_S, 16, 1.0, 1.0), "m": (_MIXNET_M, 24, 1.0, 1.0),
     "l": (_MIXNET_M, 24, 1.3, 1.0), "xl": (_MIXNET_M, 24, 1.6, 1.2),
 }
+_CC_B0 = [  # CondConv (Yang et al. NeurIPS'19): experts on the last 3 stages
+    ["ds_r1_k3_s1_e1_c16_se0.25"],
+    ["ir_r2_k3_s2_e6_c24_se0.25"],
+    ["ir_r2_k5_s2_e6_c40_se0.25"],
+    ["ir_r3_k3_s2_e6_c80_se0.25"],
+    ["ir_r3_k5_s1_e6_c112_se0.25_cc4"],
+    ["ir_r4_k5_s2_e6_c192_se0.25_cc4"],
+    ["ir_r1_k3_s1_e6_c320_se0.25_cc4"],
+]
 _FBNETC = [  # FBNet-C (Wu et al. CVPR'19 table 2)
     ["ir_r1_k3_s1_e1_c16"],
     ["ir_r1_k3_s2_e6_c24", "ir_r2_k3_s1_e1_c24"],
@@ -376,6 +388,17 @@ def mobile_cfg(name: str) -> dict:
         arch, stem, act, se = _MNASNET_B1, 32, "relu", _SE_MNAS
         w = int(name[len("mnasnet_"):]) / 100.0
         scale_stem = True
+    elif name.startswith("efficientnet_cc_"):
+        v = name[len("efficientnet_cc_"):]  # b0_4e / b0_8e / b1_8e
+        base, ex = v.split("_")
+        arch = [
+            [bs.replace("cc4", f"cc{int(ex[:-1])}") if "cc4" in bs else bs
+             for bs in stage]
+            for stage in _CC_B0
+        ]
+        stem, act, se = 32, "silu", _SE_EFF
+        w, d = {"b0": (1.0, 1.0), "b1": (1.0, 1.1)}[base]
+        scale_stem = True
     elif name == "fbnetc_100":
         arch, stem, act, se = _FBNETC, 16, "relu", _SE_MNAS
     elif name == "spnasnet_100":
@@ -453,6 +476,25 @@ class MobileTrunk(nn.Module):
             feature_group_count=groups, use_bias=False,
             kernel_init=kaiming_normal_fanout, dtype=self.dtype, name=name,
         )(x)
+
+    def _cond_conv(self, x, feat, k, stride, groups, experts, prefix):
+        """CondConv (Yang et al. NeurIPS'19): per-sample sigmoid routing
+        over expert kernels. Conv is linear in the kernel, so we run ONE
+        conv with experts folded into the output channels and combine the
+        E outputs with the routing weights — exact, and MXU-friendly."""
+        r = x.mean(axis=(1, 2))
+        r = nn.sigmoid(nn.Dense(experts, dtype=self.dtype,
+                                name=f"{prefix}_route")(r))  # [B, E]
+        y = nn.Conv(
+            feat * experts, (k, k), strides=(stride, stride),
+            padding="SAME", feature_group_count=groups, use_bias=False,
+            kernel_init=kaiming_normal_fanout, dtype=self.dtype,
+            name=f"{prefix}_experts",
+        )(x)
+        b, hh, ww, _ = y.shape
+        # grouped convs emit group-major channels (g*E + e) -> [feat, E]
+        y = y.reshape(b, hh, ww, feat, experts)
+        return jnp.einsum("bhwfe,be->bhwf", y, r.astype(y.dtype))
 
     def _mixed_dw(self, x, kernel, stride, prefix):
         """Depthwise conv; a tuple kernel = mixnet MixedConv (channel
@@ -539,16 +581,29 @@ class MobileTrunk(nn.Module):
                             y = y + shortcut
                     elif t == "ir":
                         mid = make_divisible(in_ch * spec["expand"])
-                        y = self._conv(y, mid, 1,
-                                       groups=spec["exp_groups"],
-                                       name=f"{p}_pw_exp")
+                        ex = spec["experts"]
+                        if ex:
+                            y = self._cond_conv(y, mid, 1, 1, 1, ex,
+                                                f"{p}_pw_exp")
+                        else:
+                            y = self._conv(y, mid, 1,
+                                           groups=spec["exp_groups"],
+                                           name=f"{p}_pw_exp")
                         y = bact(self._bn(y, f"{p}_pw_exp_bn"))
-                        y = self._mixed_dw(y, spec["kernel"], stride, p)
+                        if ex:
+                            y = self._cond_conv(y, mid, spec["kernel"],
+                                                stride, mid, ex, f"{p}_dw")
+                        else:
+                            y = self._mixed_dw(y, spec["kernel"], stride, p)
                         y = bact(self._bn(y, f"{p}_dw_bn"))
                         y = self._se(y, sp, se_cfg, act, p, cfg["gc"])
-                        y = self._conv(y, out_ch, 1,
-                                       groups=spec["proj_groups"],
-                                       name=f"{p}_pw_proj")
+                        if ex:
+                            y = self._cond_conv(y, out_ch, 1, 1, 1, ex,
+                                                f"{p}_pw_proj")
+                        else:
+                            y = self._conv(y, out_ch, 1,
+                                           groups=spec["proj_groups"],
+                                           name=f"{p}_pw_proj")
                         y = self._bn(y, f"{p}_pw_proj_bn")
                         if (stride == 1 and in_ch == out_ch
                                 and not spec["noskip"]):

@@ -234,7 +234,7 @@ class Unet(nn.Module):
              "tf_efficientnet_lite", "efficientnet_e", "tf_efficientnet_e",
              "mobilenetv3_", "tf_mobilenetv3_", "lcnet_", "mnasnet_",
              "semnasnet_", "spnasnet_", "tinynet_", "mixnet_", "tf_mixnet_",
-             "fbnetc_", "gc_efficientnetv2_")
+             "fbnetc_", "gc_efficientnetv2_", "tf_efficientnet_cc_")
         ):
             from sfmnext_tpu.models.mobile_builder import MobileTrunk
 
