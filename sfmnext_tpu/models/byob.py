@@ -48,6 +48,18 @@ BYOB_SPECS = {
                       "silu"),
     "gcresnet50t": ((3, 4, 6, 3), (256, 512, 1024, 2048), 0, "gc", 0,
                     "relu"),
+    "lambda_resnet26t": ((2, 2, 2, 2), (256, 512, 1024, 2048), 0, "", 0,
+                         "relu"),
+    "lambda_resnet50ts": ((3, 4, 6, 3), (256, 512, 1024, 2048), 0, "", 0,
+                          "silu"),
+}
+
+# stages whose final block swaps the 3x3 for a LambdaLayer (placement is
+# a documented best-effort for these timm research models — the layer
+# math follows the paper exactly; see docs/backbone_fidelity.md tier 3)
+LAMBDA_STAGES = {
+    "lambda_resnet26t": (2, 3),
+    "lambda_resnet50ts": (1, 2, 3),
 }
 
 
@@ -120,10 +132,22 @@ class ByobResNet(nn.Module):
                 z = _conv(mid, 1, name=f"{p}_c1", dtype=self.dtype)(y)
                 z = act(BatchNorm(not self.train, dtype=self.dtype,
                                   name=f"{p}_c1_bn")(z))
-                z = _conv(mid, 3, stride, groups, name=f"{p}_c2",
-                          dtype=self.dtype)(z)
-                z = act(BatchNorm(not self.train, dtype=self.dtype,
-                                  name=f"{p}_c2_bn")(z))
+                is_lambda = (
+                    si in LAMBDA_STAGES.get(self.variant, ())
+                    and bi == n - 1
+                )
+                if is_lambda:
+                    z = LambdaLayer(
+                        mid, train=self.train, dtype=self.dtype,
+                        name=f"{p}_lambda",
+                    )(z)
+                    z = act(BatchNorm(not self.train, dtype=self.dtype,
+                                      name=f"{p}_c2_bn")(z))
+                else:
+                    z = _conv(mid, 3, stride, groups, name=f"{p}_c2",
+                              dtype=self.dtype)(z)
+                    z = act(BatchNorm(not self.train, dtype=self.dtype,
+                                      name=f"{p}_c2_bn")(z))
                 z = self._attn(z, attn, f"{p}_attn")
                 z = _conv(ch, 1, name=f"{p}_c3", dtype=self.dtype)(z)
                 z = BatchNorm(not self.train, dtype=self.dtype,
@@ -136,3 +160,63 @@ class ByobResNet(nn.Module):
                               name="final_bn")(y))
             feats[-1] = y
         return feats
+
+
+class LambdaLayer(nn.Module):
+    """LambdaLayer (Bello, ICLR'21): content + local-position lambdas.
+
+    q/k/v from 1x1 convs (BN on q and v per the paper); the content
+    lambda is a softmax-over-context key/value outer product, the
+    position lambdas a shared [r,r,k] embedding applied as a grouped
+    spatial conv over the value map. Dense einsum/conv work only.
+    """
+
+    dim_out: int
+    heads: int = 4
+    dim_k: int = 16
+    r: int = 9
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from jax import lax
+
+        b, h, w, _ = x.shape
+        n = h * w
+        dim_v = self.dim_out // self.heads
+
+        q = nn.Conv(self.heads * self.dim_k, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="q")(x)
+        q = BatchNorm(not self.train, dtype=self.dtype, name="q_bn")(q)
+        k = nn.Conv(self.dim_k, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="k")(x)
+        v = nn.Conv(dim_v, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="v")(x)
+        v = BatchNorm(not self.train, dtype=self.dtype, name="v_bn")(v)
+
+        qf = q.reshape(b, n, self.heads, self.dim_k)
+        kf = nn.softmax(k.reshape(b, n, self.dim_k), axis=1)
+        vf = v.reshape(b, n, dim_v)
+
+        lam_c = jnp.einsum("bnk,bnv->bkv", kf, vf)
+        yc = jnp.einsum("bnhk,bkv->bnhv", qf, lam_c)
+
+        # position lambdas: one [r,r,1,k] embedding shared across the v
+        # channels -> grouped conv (group-major channels: [v, k])
+        emb = self.param(
+            "pos_emb", nn.initializers.normal(1.0 / self.dim_k),
+            (self.r, self.r, 1, self.dim_k), jnp.float32,
+        )
+        kernel = jnp.tile(emb.astype(v.dtype), (1, 1, 1, dim_v))
+        lam_p = lax.conv_general_dilated(
+            v, kernel.reshape(self.r, self.r, 1, dim_v * self.dim_k),
+            window_strides=(1, 1),
+            padding=((self.r // 2,) * 2, (self.r // 2,) * 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=dim_v,
+        )
+        lam_p = lam_p.reshape(b, n, dim_v, self.dim_k)
+        yp = jnp.einsum("bnhk,bnvk->bnhv", qf, lam_p)
+
+        return (yc + yp).reshape(b, h, w, self.heads * dim_v)
