@@ -141,6 +141,8 @@ def test_effb5_encoder_decoder_contract():
         "gernet_s", "gluon_resnext50_32x4d", "mixnet_s",
         "resnetblur50", "resnet33ts", "edgenext_xx_small",
         "regnetz_b16", "mobilenetv2_110d", "cs3darknet_m", "fbnetc_100",
+        "lambda_resnet26t", "tf_efficientnet_cc_b0_4e", "resnet50_gn",
+        "ecaresnetlight",
     ],
 )
 def test_unet_backbones_half_res_contract(backbone):
