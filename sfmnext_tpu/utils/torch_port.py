@@ -956,3 +956,101 @@ def convert_resnest(sd: Dict[str, np.ndarray], variant: str,
             params[dst] = bp
             stats[dst] = bs
     return params, stats
+
+
+# -------------------------------------------------------------------- hrnet
+
+
+def convert_hrnet(sd: Dict[str, np.ndarray], variant: str,
+                  prefix: str = ""):
+    """timm/official HRNet state_dict -> (params, batch_stats) for
+    models.hrnet.HRNet (features flavor with incre modules).
+
+    Official naming: ``conv1/bn1/conv2/bn2`` stem; ``layer1.{i}``
+    bottlenecks; ``transition{t}.{b}`` Sequentials (new branches are
+    doubly nested); ``stage{s}.{m}.branches.{b}.{i}`` basic blocks and
+    ``stage{s}.{m}.fuse_layers.{i}.{j}[.{k}]`` fusion convs;
+    ``incre_modules.{b}.0`` bottleneck feature heads.
+    """
+    from sfmnext_tpu.models.hrnet import HRNET_SPECS
+
+    (n1, _), *stages = HRNET_SPECS[variant]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    def conv(dst_p, name, src):
+        dst_p[name] = {"kernel": _conv_w(sd[f"{prefix}{src}.weight"])}
+
+    for i in (1, 2):
+        conv(params, f"stem{i}", f"conv{i}")
+        bn_pair(params, stats, f"stem{i}_bn", f"bn{i}")
+
+    def bottleneck(dst, src):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for c in (1, 2, 3):
+            conv(bp, f"conv{c}", f"{src}.conv{c}")
+            bn_pair(bp, bs, f"bn{c}", f"{src}.bn{c}")
+        if f"{prefix}{src}.downsample.0.weight" in sd:
+            conv(bp, "down_conv", f"{src}.downsample.0")
+            bn_pair(bp, bs, "down_bn", f"{src}.downsample.1")
+        params[dst] = bp
+        stats[dst] = bs
+
+    for bi in range(n1):
+        bottleneck(f"layer1_{bi}", f"layer1.{bi}")
+
+    for si, (n_mod, n_blk, _w) in enumerate(stages):
+        n_br = si + 2
+        # transition: existing branches (single Sequential) + new branch
+        # (doubly nested Sequential)
+        for b in range(n_br):
+            single = f"transition{si + 1}.{b}.0.weight"
+            nested = f"transition{si + 1}.{b}.0.0.weight"
+            if prefix + single in sd:
+                conv(params, f"t{si}_b{b}", f"transition{si + 1}.{b}.0")
+                bn_pair(params, stats, f"t{si}_b{b}_bn",
+                        f"transition{si + 1}.{b}.1")
+            elif prefix + nested in sd:
+                conv(params, f"t{si}_b{b}", f"transition{si + 1}.{b}.0.0")
+                bn_pair(params, stats, f"t{si}_b{b}_bn",
+                        f"transition{si + 1}.{b}.0.1")
+        for mi in range(n_mod):
+            src_m = f"stage{si + 2}.{mi}"
+            for b in range(n_br):
+                for blk in range(n_blk):
+                    bp: Dict[str, Any] = {}
+                    bs: Dict[str, Any] = {}
+                    for c in (1, 2):
+                        conv(bp, f"conv{c}",
+                             f"{src_m}.branches.{b}.{blk}.conv{c}")
+                        bn_pair(bp, bs, f"bn{c}",
+                                f"{src_m}.branches.{b}.{blk}.bn{c}")
+                    params[f"s{si}_m{mi}_b{b}_{blk}"] = bp
+                    stats[f"s{si}_m{mi}_b{b}_{blk}"] = bs
+            fp: Dict[str, Any] = {}
+            fs: Dict[str, Any] = {}
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j > i:
+                        conv(fp, f"up{i}_{j}",
+                             f"{src_m}.fuse_layers.{i}.{j}.0")
+                        bn_pair(fp, fs, f"up{i}_{j}_bn",
+                                f"{src_m}.fuse_layers.{i}.{j}.1")
+                    elif j < i:
+                        for k in range(i - j):
+                            conv(fp, f"down{i}_{j}_{k}",
+                                 f"{src_m}.fuse_layers.{i}.{j}.{k}.0")
+                            bn_pair(fp, fs, f"down{i}_{j}_{k}_bn",
+                                    f"{src_m}.fuse_layers.{i}.{j}.{k}.1")
+            params[f"s{si}_m{mi}_fuse"] = fp
+            stats[f"s{si}_m{mi}_fuse"] = fs
+
+    for b in range(4):
+        bottleneck(f"incre{b}", f"incre_modules.{b}.0")
+    return params, stats

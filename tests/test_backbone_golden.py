@@ -1043,3 +1043,167 @@ def test_resnest_port_matches_torch(variant):
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# --------------------------------------------------------------- hrnet
+
+
+class _HRBottleneck(nn.Module):
+    def __init__(self, in_ch, planes):
+        super().__init__()
+        out = planes * 4
+        self.conv1 = nn.Conv2d(in_ch, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out)
+        if in_ch != out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, out, 1, bias=False), nn.BatchNorm2d(out))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        sc = x if self.downsample is None else self.downsample(x)
+        return F.relu(y + sc)
+
+
+class _HRBasic(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.conv1 = nn.Conv2d(ch, ch, 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(ch)
+        self.conv2 = nn.Conv2d(ch, ch, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(ch)
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + x)
+
+
+class _HRModule(nn.Module):
+    def __init__(self, widths, n_blk):
+        super().__init__()
+        self.widths = widths
+        self.branches = nn.ModuleList([
+            nn.Sequential(*[_HRBasic(w) for _ in range(n_blk)])
+            for w in widths
+        ])
+        fuse = []
+        for i, wi in enumerate(widths):
+            row = []
+            for j, wj in enumerate(widths):
+                if j > i:
+                    row.append(nn.Sequential(
+                        nn.Conv2d(wj, wi, 1, bias=False),
+                        nn.BatchNorm2d(wi),
+                        nn.Upsample(scale_factor=2 ** (j - i),
+                                    mode="nearest")))
+                elif j < i:
+                    steps = []
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        ch = wi if last else wj
+                        mods = [nn.Conv2d(wj, ch, 3, 2, 1, bias=False),
+                                nn.BatchNorm2d(ch)]
+                        if not last:
+                            mods.append(nn.ReLU(False))
+                        steps.append(nn.Sequential(*mods))
+                    row.append(nn.Sequential(*steps))
+                else:
+                    row.append(None)
+            fuse.append(nn.ModuleList(row))
+        self.fuse_layers = nn.ModuleList(fuse)
+
+    def forward(self, xs):
+        xs = [br(x) for br, x in zip(self.branches, xs)]
+        outs = []
+        for i in range(len(self.widths)):
+            acc = None
+            for j, xj in enumerate(xs):
+                y = xj if self.fuse_layers[i][j] is None \
+                    else self.fuse_layers[i][j](xj)
+                acc = y if acc is None else acc + y
+            outs.append(F.relu(acc))
+        return outs
+
+
+class TorchHRNetSmall(nn.Module):
+    """Official hrnet_w18_small naming."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.conv2 = nn.Conv2d(64, 64, 3, 2, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(64)
+        self.layer1 = nn.Sequential(_HRBottleneck(64, 32))
+        w = 16
+        self.transition1 = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(128, w, 3, 1, 1, bias=False),
+                          nn.BatchNorm2d(w), nn.ReLU(False)),
+            nn.Sequential(nn.Sequential(
+                nn.Conv2d(128, 2 * w, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(2 * w), nn.ReLU(False))),
+        ])
+        self.stage2 = nn.Sequential(_HRModule((w, 2 * w), 2))
+        self.transition2 = nn.ModuleList([None, None, nn.Sequential(
+            nn.Sequential(nn.Conv2d(2 * w, 4 * w, 3, 2, 1, bias=False),
+                          nn.BatchNorm2d(4 * w), nn.ReLU(False)))])
+        self.stage3 = nn.Sequential(_HRModule((w, 2 * w, 4 * w), 2))
+        self.transition3 = nn.ModuleList([None, None, None, nn.Sequential(
+            nn.Sequential(nn.Conv2d(4 * w, 8 * w, 3, 2, 1, bias=False),
+                          nn.BatchNorm2d(8 * w), nn.ReLU(False)))])
+        self.stage4 = nn.Sequential(_HRModule((w, 2 * w, 4 * w, 8 * w), 2))
+        self.incre_modules = nn.ModuleList([
+            nn.Sequential(_HRBottleneck(w * (2 ** b), 32 * (2 ** b)))
+            for b in range(4)
+        ])
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        stem_tap = y
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.layer1(y)
+        xs = [self.transition1[0](y), self.transition1[1](y)]
+        xs = self.stage2[0](xs)
+        xs = xs + [self.transition2[2](xs[-1])]
+        xs = self.stage3[0](xs)
+        xs = xs + [self.transition3[3](xs[-1])]
+        xs = self.stage4[0](xs)
+        taps = [stem_tap] + [m(x) for m, x in zip(self.incre_modules, xs)]
+        return taps
+
+
+def test_hrnet_port_matches_torch():
+    from sfmnext_tpu.models.hrnet import HRNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchHRNetSmall().eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_hrnet(sd, "hrnet_w18_small")
+
+    model = HRNet(variant="hrnet_w18_small", train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
