@@ -63,7 +63,9 @@ class OSABlock(nn.Module):
         y = x
         if self.depthwise and x.shape[-1] != self.conv_ch:
             y = self._cbr(y, self.conv_ch, 1, name="reduce")
-        outs = [y]
+        # the one-shot concat starts with the ORIGINAL block input (the
+        # reduction only feeds the cascade) — timm OsaBlock.forward
+        outs = [x]
         for i in range(self.n_layers):
             if self.depthwise:
                 y = _conv(y.shape[-1], 3, 1, groups=y.shape[-1],

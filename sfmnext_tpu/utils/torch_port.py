@@ -1054,3 +1054,69 @@ def convert_hrnet(sd: Dict[str, np.ndarray], variant: str,
     for b in range(4):
         bottleneck(f"incre{b}", f"incre_modules.{b}.0")
     return params, stats
+
+
+# ------------------------------------------------------------------ vovnet
+
+
+def convert_vovnet(sd: Dict[str, np.ndarray], variant: str,
+                   prefix: str = ""):
+    """timm VoVNet state_dict -> (params, batch_stats) for
+    models.vovnet.VoVNet.
+
+    timm naming (timm/models/vovnet.py): ``stem.{0,1,2}`` ConvNormAct
+    (.conv/.bn; the dw stem's third entry is SeparableConvNormAct with
+    .conv_dw/.conv_pw); ``stages.{i}.blocks.{j}`` OSA blocks with
+    ``conv_reduction`` (dw flavor, when in != mid), ``conv_mid.{k}``,
+    ``conv_concat`` and the eSE ``attn.fc``.
+    """
+    from sfmnext_tpu.models.vovnet import VOVNET_SPECS
+
+    (_, _, _, n_layers, n_blocks, _, depthwise) = VOVNET_SPECS[variant]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    for i in range(3):
+        if depthwise and i == 2:
+            params["stem2_dw"] = {"kernel": _conv_w(
+                sd[f"{prefix}stem.2.conv_dw.weight"])}
+            params["stem2_pw"] = {"kernel": _conv_w(
+                sd[f"{prefix}stem.2.conv_pw.weight"])}
+        else:
+            params[f"stem{i}"] = {"kernel": _conv_w(
+                sd[f"{prefix}stem.{i}.conv.weight"])}
+        bn_pair(params, stats, f"stem{i}_bn", f"stem.{i}.bn")
+
+    for si in range(4):
+        for bi in range(n_blocks[si]):
+            src = f"stages.{si}.blocks.{bi}"
+            dst = f"stage{si}_block{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if f"{prefix}{src}.conv_reduction.conv.weight" in sd:
+                bp["reduce_conv"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.conv_reduction.conv.weight"])}
+                bn_pair(bp, bs, "reduce_bn", f"{src}.conv_reduction.bn")
+            for k in range(n_layers):
+                if depthwise:
+                    bp[f"l{k}_dw"] = {"kernel": _conv_w(
+                        sd[f"{prefix}{src}.conv_mid.{k}.conv_dw.weight"])}
+                    bp[f"l{k}_pw_conv"] = {"kernel": _conv_w(
+                        sd[f"{prefix}{src}.conv_mid.{k}.conv_pw.weight"])}
+                    bn_pair(bp, bs, f"l{k}_pw_bn", f"{src}.conv_mid.{k}.bn")
+                else:
+                    bp[f"l{k}_conv"] = {"kernel": _conv_w(
+                        sd[f"{prefix}{src}.conv_mid.{k}.conv.weight"])}
+                    bn_pair(bp, bs, f"l{k}_bn", f"{src}.conv_mid.{k}.bn")
+            bp["concat_conv"] = {"kernel": _conv_w(
+                sd[f"{prefix}{src}.conv_concat.conv.weight"])}
+            bn_pair(bp, bs, "concat_bn", f"{src}.conv_concat.bn")
+            bp["ese_fc"] = _conv_pb(sd, f"{prefix}{src}.attn.fc")
+            params[dst] = bp
+            stats[dst] = bs
+    return params, stats

@@ -1207,3 +1207,135 @@ def test_hrnet_port_matches_torch():
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# --------------------------------------------------------------- vovnet
+
+
+class _VovCNA(nn.Module):
+    def __init__(self, in_ch, out_ch, k, s=1):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, k, s, k // 2, bias=False)
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _VovSep(nn.Module):
+    def __init__(self, in_ch, out_ch, k, s=1):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(in_ch, in_ch, k, s, k // 2, groups=in_ch,
+                                 bias=False)
+        self.conv_pw = nn.Conv2d(in_ch, out_ch, 1, bias=False)
+        self.bn = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv_pw(self.conv_dw(x))))
+
+
+class _OsaBlock(nn.Module):
+    def __init__(self, in_ch, conv_ch, out_ch, n_layers, residual, dw):
+        super().__init__()
+        self.residual = residual and in_ch == out_ch
+        next_in = in_ch
+        if dw and in_ch != conv_ch:
+            self.conv_reduction = _VovCNA(in_ch, conv_ch, 1)
+            next_in = conv_ch
+        else:
+            self.conv_reduction = None
+        mids = []
+        for _ in range(n_layers):
+            mids.append(_VovSep(next_in, conv_ch, 3) if dw
+                        else _VovCNA(next_in, conv_ch, 3))
+            next_in = conv_ch
+        self.conv_mid = nn.ModuleList(mids)
+        self.conv_concat = _VovCNA(in_ch + n_layers * conv_ch, out_ch, 1)
+        self.attn = nn.Module()
+        self.attn.fc = nn.Conv2d(out_ch, out_ch, 1)
+
+    def forward(self, x):
+        outs = [x]
+        y = x if self.conv_reduction is None else self.conv_reduction(x)
+        for m in self.conv_mid:
+            y = m(y)
+            outs.append(y)
+        y = self.conv_concat(torch.cat(outs, dim=1))
+        s = y.mean((2, 3), keepdim=True)
+        y = y * F.hardsigmoid(self.attn.fc(s))
+        if self.residual:
+            y = y + x
+        return y
+
+
+class TorchVoVNet(nn.Module):
+    """timm ese_vovnet naming (stem.0-2, stages.i.blocks.j)."""
+
+    def __init__(self, variant):
+        super().__init__()
+        from sfmnext_tpu.models.vovnet import VOVNET_SPECS
+
+        (stem_chs, conv_chs, out_chs, n_layers, n_blocks, residual,
+         dw) = VOVNET_SPECS[variant]
+        self.dw = dw
+        stem = []
+        in_c = 3
+        for i, (c, s) in enumerate(zip(stem_chs, (2, 1, 2))):
+            stem.append(_VovSep(in_c, c, 3, s) if (dw and i == 2)
+                        else _VovCNA(in_c, c, 3, s))
+            in_c = c
+        self.stem = nn.Sequential(*stem)
+        stages = []
+        for si in range(4):
+            blocks = []
+            for bi in range(n_blocks[si]):
+                blocks.append(_OsaBlock(
+                    in_c, conv_chs[si], out_chs[si], n_layers, residual, dw))
+                in_c = out_chs[si]
+            st = nn.Module()
+            st.blocks = nn.Sequential(*blocks)
+            stages.append(st)
+        self.stages = nn.Sequential(*stages)
+
+    def forward(self, x):
+        y = self.stem[0](x)
+        y = self.stem[1](y)
+        stem_tap = y
+        y = self.stem[2](y)
+        taps = [stem_tap]
+        for si, stage in enumerate(self.stages):
+            if si > 0:
+                y = F.max_pool2d(y, 3, 2, 1)
+            y = stage.blocks(y)
+            taps.append(y)
+        return taps
+
+
+@pytest.mark.parametrize("variant", ["ese_vovnet19b_dw", "ese_vovnet39b"])
+def test_vovnet_port_matches_torch(variant):
+    from sfmnext_tpu.models.vovnet import VoVNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchVoVNet(variant).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_vovnet(sd, variant)
+
+    model = VoVNet(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
