@@ -1120,3 +1120,43 @@ def convert_vovnet(sd: Dict[str, np.ndarray], variant: str,
             params[dst] = bp
             stats[dst] = bs
     return params, stats
+
+
+# ------------------------------------------------------------------ repvgg
+
+
+def convert_repvgg(sd: Dict[str, np.ndarray], variant: str,
+                   prefix: str = ""):
+    """timm RepVGG (byobnet, training-form) state_dict -> (params,
+    batch_stats) for models.repvgg.RepVGG.
+
+    timm naming: ``stem`` and ``stages.{s}.{b}`` RepVggBlocks with
+    ``conv_kxk`` / ``conv_1x1`` ConvNormAct members (.conv/.bn) and the
+    ``identity`` BatchNormAct2d on shape-preserving blocks.
+    """
+    from sfmnext_tpu.models.repvgg import REPVGG_SPECS
+
+    depths = REPVGG_SPECS[variant][2]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def block(dst, src):
+        # RepVGGBlock uses raw nn.BatchNorm modules (no wrapper nesting)
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        bp["conv3"] = {"kernel": _conv_w(
+            sd[f"{prefix}{src}.conv_kxk.conv.weight"])}
+        bp["bn3"], bs["bn3"] = _bn(sd, f"{prefix}{src}.conv_kxk.bn")
+        bp["conv1"] = {"kernel": _conv_w(
+            sd[f"{prefix}{src}.conv_1x1.conv.weight"])}
+        bp["bn1"], bs["bn1"] = _bn(sd, f"{prefix}{src}.conv_1x1.bn")
+        if f"{prefix}{src}.identity.running_mean" in sd:
+            bp["bn_id"], bs["bn_id"] = _bn(sd, f"{prefix}{src}.identity")
+        params[dst] = bp
+        stats[dst] = bs
+
+    block("stem", "stem")
+    for si, d in enumerate(depths):
+        for bi in range(d):
+            block(f"stage{si}_block{bi}", f"stages.{si}.{bi}")
+    return params, stats

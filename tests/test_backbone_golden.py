@@ -1339,3 +1339,93 @@ def test_vovnet_port_matches_torch(variant):
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# --------------------------------------------------------------- repvgg
+
+
+class _TorchRepVggBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, stride, groups=1):
+        super().__init__()
+        self.conv_kxk = nn.Module()
+        self.conv_kxk.conv = nn.Conv2d(in_ch, out_ch, 3, stride, 1,
+                                       groups=groups, bias=False)
+        self.conv_kxk.bn = nn.BatchNorm2d(out_ch)
+        self.conv_1x1 = nn.Module()
+        self.conv_1x1.conv = nn.Conv2d(in_ch, out_ch, 1, stride,
+                                       groups=groups, bias=False)
+        self.conv_1x1.bn = nn.BatchNorm2d(out_ch)
+        if stride == 1 and in_ch == out_ch:
+            self.identity = nn.BatchNorm2d(out_ch)
+        else:
+            self.identity = None
+
+    def forward(self, x):
+        y = self.conv_kxk.bn(self.conv_kxk.conv(x)) + \
+            self.conv_1x1.bn(self.conv_1x1.conv(x))
+        if self.identity is not None:
+            y = y + self.identity(x)
+        return F.relu(y)
+
+
+class TorchRepVGG(nn.Module):
+    def __init__(self, variant):
+        super().__init__()
+        from sfmnext_tpu.models.repvgg import REPVGG_SPECS, _GROUP_LAYERS
+
+        wa, wb, depths, g = REPVGG_SPECS[variant]
+        self.depths = depths
+        self.stem = _TorchRepVggBlock(3, min(64, int(64 * wa)), 2)
+        in_ch = min(64, int(64 * wa))
+        stage_ch = [int(64 * wa), int(128 * wa), int(256 * wa),
+                    int(512 * wb)]
+        idx = 1
+        stages = []
+        for ch, d in zip(stage_ch, depths):
+            blocks = []
+            for bi in range(d):
+                groups = g if (g > 1 and idx in _GROUP_LAYERS) else 1
+                blocks.append(_TorchRepVggBlock(
+                    in_ch, ch, 2 if bi == 0 else 1, groups))
+                in_ch = ch
+                idx += 1
+            stages.append(nn.Sequential(*blocks))
+        self.stages = nn.Sequential(*stages)
+
+    def forward(self, x):
+        y = self.stem(x)
+        taps = [y]
+        for stage in self.stages:
+            y = stage(y)
+            taps.append(y)
+        return taps
+
+
+@pytest.mark.parametrize("variant", ["repvgg_b0", "repvgg_b1g4"])
+def test_repvgg_port_matches_torch(variant):
+    from sfmnext_tpu.models.repvgg import RepVGG
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchRepVGG(variant).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_repvgg(sd, variant)
+
+    model = RepVGG(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g_, e) in enumerate(zip(got, expect)):
+        g_ = np.transpose(np.asarray(g_), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g_, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
