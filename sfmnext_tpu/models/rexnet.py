@@ -72,9 +72,11 @@ class LinearBottleneck(nn.Module):
         y = self._conv(y, mid, 3, self.stride, groups=mid, name="conv_dw")
         y = self._bn(y, "bn_dw")
         if self.use_se:
+            # official ReXNet SE normalizes the squeezed vector (SEWithNorm)
             rd = make_divisible(int(mid / 12), 8)
             s = y.mean(axis=(1, 2), keepdims=True)
             s = nn.Conv(rd, (1, 1), dtype=self.dtype, name="se_reduce")(s)
+            s = self._bn(s, "se_bn")
             s = nn.relu(s)
             s = nn.Conv(mid, (1, 1), dtype=self.dtype, name="se_expand")(s)
             y = y * nn.sigmoid(s)
