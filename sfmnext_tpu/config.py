@@ -161,6 +161,16 @@ class Options:
 
     def validate(self):
         assert self.frame_ids[0] == 0, "frame_ids must start with 0"
+        if tuple(self.scales) != (0,):
+            # the reference default is single-scale (options.py:149-153,
+            # multi-scale commented out); its generic multi-scale loop
+            # (trainer.py:386-439) is not implemented here — fail loudly
+            # instead of silently training single-scale.
+            raise ValueError(
+                f"scales={tuple(self.scales)}: only the reference default "
+                "(0,) is supported; the multi-scale loss loop is not "
+                "implemented"
+            )
         if self.weights_init not in ("pretrained", "scratch"):
             raise ValueError(
                 f"weights_init must be 'pretrained' or 'scratch', "

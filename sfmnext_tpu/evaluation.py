@@ -89,7 +89,18 @@ def predict_depths(opt: Options, models, variables, loader, post_process: bool):
     the last short batch is padded to the compiled shape and trimmed, so
     the metrics are identical to the batch-1 run. With --post_process the
     flipped copies ride the same dispatch (batch 2N).
+
+    ``--log_attn`` writes the SQL energy maps per batch step (reference
+    evaluate_depth_config.py:137-151: color + normalized disp + up to 100
+    per-query attention maps for the first <=4 images) to <log_dir>/vis
+    via MetricWriter (TB panels when available, pngs otherwise).
     """
+    import dataclasses as _dc
+
+    depth_model = (
+        _dc.replace(models.depth, return_energy=True)
+        if opt.log_attn else models.depth
+    )
 
     @jax.jit
     def infer(images):
@@ -100,12 +111,36 @@ def predict_depths(opt: Options, models, variables, loader, post_process: bool):
             },
             images,
         )
-        out = models.depth.apply({"params": variables["params"]["depth"]}, feats)
-        return out["disp0"][..., 0]
+        out = depth_model.apply({"params": variables["params"]["depth"]}, feats)
+        if opt.log_attn:
+            return out["disp0"][..., 0], out["energy"]
+        return out["disp0"][..., 0], None
+
+    writer = None
+    if opt.log_attn:
+        from sfmnext_tpu.utils.logging import MetricWriter
+
+        writer = MetricWriter(opt.log_dir, "vis")
+
+    def _log_attn_panels(step, img, disp, energy):
+        # softmax over pixels per query; normalize each map for display
+        h, w, q = energy.shape[1:]
+        panels = {}
+        for j in range(min(4, img.shape[0])):
+            panels[f"color_0/{j}"] = img[j]
+            d = disp[j]
+            panels[f"disp_0/{j}"] = (d - d.min()) / (d.max() - d.min() + 1e-7)
+            e = energy[j].reshape(-1, q)
+            e = np.exp(e - e.max(0, keepdims=True))
+            attn = (e / e.sum(0, keepdims=True)).reshape(h, w, q)
+            for k in range(min(100, q)):
+                a = attn[:, :, k]
+                panels[f"attn_{j}/{k}"] = a / (a.max() + 1e-12)
+        writer.images(step, panels)
 
     bs = max(1, getattr(opt, "eval_batch_size", 1))
     preds = []
-    for batch in loader:
+    for step, batch in enumerate(loader):
         img = np.asarray(batch["color"][:, 0])  # [n<=bs,H,W,3]
         n = img.shape[0]
         if n < bs:  # pad the final short batch to the compiled shape
@@ -115,10 +150,16 @@ def predict_depths(opt: Options, models, variables, loader, post_process: bool):
         img = jnp.asarray(img)
         if post_process:
             both = jnp.concatenate([img, img[:, :, ::-1]], 0)
-            d = np.asarray(infer(both))
+            d, energy = infer(both)
+            d = np.asarray(d)
             d = M.flip_postprocess(d[: img.shape[0]], d[img.shape[0]:, :, ::-1])
         else:
-            d = np.asarray(infer(img))
+            d, energy = infer(img)
+            d = np.asarray(d)
+        if writer is not None:
+            _log_attn_panels(
+                step, np.asarray(img)[:n], d[:n], np.asarray(energy)[:n]
+            )
         preds.append(d[:n])
     return np.concatenate(preds, 0)
 

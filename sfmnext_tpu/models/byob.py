@@ -62,6 +62,26 @@ LAMBDA_STAGES = {
     "lambda_resnet50ts": (1, 2, 3),
 }
 
+# resnet51q/61q (timm byobnet "q" research models): quad stems at stride 4,
+# mixed edge (fused 3x3->1x1) and bottleneck stages, SiLU, 2048 final conv.
+# stage spec: (kind, depth, out_ch, group_size, bottle_ratio, extra_conv)
+QRESNET_SPECS = {
+    "resnet51q": (
+        "quad2",
+        (("edge", 3, 256, 32, 1.0, False),
+         ("edge", 4, 512, 32, 1.0, False),
+         ("bottle", 6, 1536, 32, 0.25, False),
+         ("bottle", 4, 1536, 1, 0.25, False)),
+    ),
+    "resnet61q": (
+        "quad",
+        (("edge", 1, 256, 0, 1.0, False),
+         ("bottle", 4, 256, 32, 0.25, True),
+         ("bottle", 6, 1536, 32, 0.25, True),
+         ("bottle", 4, 1536, 1, 0.25, True)),
+    ),
+}
+
 
 def _conv(feat, k, s=1, groups=1, name=None, dtype=None):
     return nn.Conv(
@@ -84,6 +104,79 @@ def gc_module(x, dtype, train, name):
     t = nn.relu(t)
     t = nn.Conv(c, (1, 1), dtype=dtype, name=f"{name}_fc2")(t)
     return x + t
+
+
+class QResNet(nn.Module):
+    """resnet51q/61q: quad stem (stride 4), edge + bottleneck stages.
+
+    Reconstructed from timm byobnet's public model cfgs (stem chs
+    16/32/64/128 with strides 2/1/1/2; quad2 activates only the last two
+    stem convs). Taps at r2 (pre-downsample stem) and the 4 stages
+    (strides 1,2,2,2 after the stride-4 stem); the 2048 final conv+BN+act
+    replaces the last tap, mirroring the other byob "ts" models.
+    """
+
+    variant: str = "resnet51q"
+    train: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        stem_kind, stages = QRESNET_SPECS[self.variant]
+        act = nn.silu
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        y = x
+        stem_tap = None
+        for i, (c, s) in enumerate(zip((16, 32, 64, 128), (2, 1, 1, 2))):
+            if i == 3:
+                stem_tap = y  # r2, pre the second stride-2 conv
+            y = _conv(c, 3, s, name=f"stem{i}", dtype=self.dtype)(y)
+            if stem_kind == "quad" or i >= 2:
+                y = act(BatchNorm(not self.train, dtype=self.dtype,
+                                  name=f"stem{i}_bn")(y))
+        feats = [stem_tap]
+
+        def norm_act(z, nm, do_act=True):
+            z = BatchNorm(not self.train, dtype=self.dtype, name=nm)(z)
+            return act(z) if do_act else z
+
+        for si, (kind, depth, ch, gs, br, extra) in enumerate(stages):
+            for bi in range(depth):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                in_ch = y.shape[-1]
+                mid = int(round(ch * br))
+                groups = max(1, mid // gs) if gs else 1
+                p = f"s{si}_b{bi}"
+                shortcut = y
+                if stride != 1 or in_ch != ch:
+                    shortcut = _conv(ch, 1, stride, name=f"{p}_short",
+                                     dtype=self.dtype)(y)
+                    shortcut = BatchNorm(not self.train, dtype=self.dtype,
+                                         name=f"{p}_short_bn")(shortcut)
+                if kind == "edge":
+                    z = _conv(mid, 3, stride, groups, name=f"{p}_c1",
+                              dtype=self.dtype)(y)
+                    z = norm_act(z, f"{p}_c1_bn")
+                else:
+                    z = _conv(mid, 1, name=f"{p}_c1", dtype=self.dtype)(y)
+                    z = norm_act(z, f"{p}_c1_bn")
+                    z = _conv(mid, 3, stride, groups, name=f"{p}_c2",
+                              dtype=self.dtype)(z)
+                    z = norm_act(z, f"{p}_c2_bn")
+                    if extra:
+                        z = _conv(mid, 3, 1, groups, name=f"{p}_c2b",
+                                  dtype=self.dtype)(z)
+                        z = norm_act(z, f"{p}_c2b_bn")
+                z = _conv(ch, 1, name=f"{p}_c3", dtype=self.dtype)(z)
+                z = norm_act(z, f"{p}_c3_bn", do_act=False)
+                y = act(z + shortcut)
+            feats.append(y)
+        y = _conv(2048, 1, name="final", dtype=self.dtype)(y)
+        feats[-1] = act(BatchNorm(not self.train, dtype=self.dtype,
+                                  name="final_bn")(y))
+        return feats
 
 
 class ByobResNet(nn.Module):

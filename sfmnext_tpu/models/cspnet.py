@@ -49,7 +49,9 @@ class _CBA(nn.Module):
             dtype=self.dtype, name="conv",
         )(x)
         y = BatchNorm(not self.train, dtype=self.dtype, name="bn")(y)
-        return _leaky(y) if self.act == "leaky" else nn.relu(y)
+        if self.act == "leaky":
+            return _leaky(y)
+        return nn.silu(y) if self.act == "silu" else nn.relu(y)
 
 
 class DarkBlock(nn.Module):
@@ -253,14 +255,14 @@ class _CS3Bottleneck(nn.Module):
     def __call__(self, x):
         c = self.channels
         if self.edge:
-            y = _CBA(c * 2, 3, act="leaky", train=self.train,
+            y = _CBA(c * 2, 3, act="silu", train=self.train,
                      dtype=self.dtype, name="c1")(x)
-            y = _CBA(c, 1, act="leaky", train=self.train, dtype=self.dtype,
+            y = _CBA(c, 1, act="silu", train=self.train, dtype=self.dtype,
                      name="c2")(y)
         else:
-            y = _CBA(c, 1, act="leaky", train=self.train, dtype=self.dtype,
+            y = _CBA(c, 1, act="silu", train=self.train, dtype=self.dtype,
                      name="c1")(x)
-            y = _CBA(c, 3, act="leaky", train=self.train, dtype=self.dtype,
+            y = _CBA(c, 3, act="silu", train=self.train, dtype=self.dtype,
                      name="c2")(y)
         if self.se:
             s = y.mean(axis=(1, 2), keepdims=True)

@@ -282,6 +282,116 @@ _FBNETC = [  # FBNet-C (Wu et al. CVPR'19 table 2)
     ["ir_r4_k5_s2_e6_c184"],
     ["ir_r1_k3_s1_e6_c352"],
 ]
+_FBNETV3 = {  # Dai et al. CVPR'21; timm mobilenetv3.py _gen_fbnetv3 tables
+    "b": (16, [
+        ["ds_r2_k3_s1_e1_c16"],
+        ["ir_r1_k5_s2_e4_c24", "ir_r3_k5_s1_e2_c24"],
+        ["ir_r1_k5_s2_e5_c40_se0.25", "ir_r4_k5_s1_e3_c40_se0.25"],
+        ["ir_r1_k5_s2_e5_c72", "ir_r4_k3_s1_e3_c72"],
+        ["ir_r1_k3_s1_e5_c120_se0.25", "ir_r5_k5_s1_e3_c120_se0.25"],
+        ["ir_r1_k3_s2_e6_c184_se0.25", "ir_r5_k5_s1_e4_c184_se0.25",
+         "ir_r1_k5_s1_e6_c224_se0.25"],
+        ["cn_r1_k1_s1_c1344"],
+    ]),
+    "d": (24, [
+        ["ds_r2_k3_s1_e1_c16"],
+        ["ir_r1_k3_s2_e5_c24", "ir_r5_k3_s1_e2_c24"],
+        ["ir_r1_k5_s2_e4_c40_se0.25", "ir_r4_k3_s1_e3_c40_se0.25"],
+        ["ir_r1_k3_s2_e5_c72", "ir_r4_k3_s1_e3_c72"],
+        ["ir_r1_k3_s1_e5_c128_se0.25", "ir_r6_k5_s1_e3_c128_se0.25"],
+        ["ir_r1_k3_s2_e6_c208_se0.25", "ir_r5_k5_s1_e5_c208_se0.25",
+         "ir_r1_k5_s1_e6_c240_se0.25"],
+        ["cn_r1_k1_s1_c1440"],
+    ]),
+    "g": (32, [
+        ["ds_r3_k3_s1_e1_c24"],
+        ["ir_r1_k5_s2_e4_c40", "ir_r4_k5_s1_e2_c40"],
+        ["ir_r1_k5_s2_e4_c56_se0.25", "ir_r4_k5_s1_e3_c56_se0.25"],
+        ["ir_r1_k5_s2_e5_c104", "ir_r4_k3_s1_e3_c104"],
+        ["ir_r1_k3_s1_e5_c160_se0.25", "ir_r8_k5_s1_e3_c160_se0.25"],
+        ["ir_r1_k3_s2_e6_c264_se0.25", "ir_r6_k5_s1_e5_c264_se0.25",
+         "ir_r2_k5_s1_e6_c288_se0.25"],
+        ["cn_r1_k1_s1_c1728"],
+    ]),
+}
+# HardCoRe-NAS A-F (Nayman et al. '21), timm hardcorenas.py arch strings.
+# a/b transcribed from timm's public table; c-f reconstructed from the same
+# search space (docs/backbone_fidelity.md Tier 3 — unverified offline).
+_HARDCORENAS = {
+    "a": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e3_c40_nre", "ir_r1_k5_s1_e6_c40_nre_se0.25"],
+        ["ir_r1_k5_s2_e6_c80_se0.25", "ir_r1_k5_s1_e6_c80_se0.25"],
+        ["ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k5_s1_e6_c112_se0.25"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+    "b": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip",
+         "ir_r1_k3_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre",
+         "ir_r1_k5_s1_e3_c40_nre"],
+        ["ir_r1_k5_s2_e3_c80", "ir_r1_k5_s1_e3_c80",
+         "ir_r1_k3_s1_e3_c80", "ir_r1_k3_s1_e3_c80"],
+        ["ir_r1_k5_s1_e3_c112", "ir_r1_k3_s1_e3_c112",
+         "ir_r1_k3_s1_e3_c112", "ir_r1_k3_s1_e3_c112"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e3_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+    "c": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre",
+         "ir_r1_k5_s1_e3_c40_nre", "ir_r1_k5_s1_e3_c40_nre"],
+        ["ir_r1_k5_s2_e4_c80", "ir_r1_k5_s1_e6_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80", "ir_r1_k3_s1_e3_c80"],
+        ["ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k3_s1_e3_c112",
+         "ir_r1_k3_s1_e3_c112", "ir_r1_k3_s1_e3_c112"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e3_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+    "d": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e3_c40_nre_se0.25", "ir_r1_k5_s1_e4_c40_nre_se0.25",
+         "ir_r1_k3_s1_e3_c40_nre_se0.25"],
+        ["ir_r1_k5_s2_e4_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25"],
+        ["ir_r1_k3_s1_e4_c112_se0.25", "ir_r1_k5_s1_e4_c112_se0.25",
+         "ir_r1_k3_s1_e3_c112_se0.25", "ir_r1_k5_s1_e3_c112_se0.25"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+    "e": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e6_c40_nre_se0.25", "ir_r1_k5_s1_e4_c40_nre_se0.25",
+         "ir_r1_k5_s1_e4_c40_nre_se0.25", "ir_r1_k3_s1_e3_c40_nre_se0.25"],
+        ["ir_r1_k5_s2_e4_c80_se0.25", "ir_r1_k3_s1_e6_c80_se0.25"],
+        ["ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k5_s1_e6_c112_se0.25",
+         "ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k5_s1_e3_c112_se0.25"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+    "f": [
+        ["ds_r1_k3_s1_e1_c16_nre"],
+        ["ir_r1_k5_s2_e3_c24_nre", "ir_r1_k5_s1_e3_c24_nre_noskip"],
+        ["ir_r1_k5_s2_e6_c40_nre_se0.25", "ir_r1_k5_s1_e6_c40_nre_se0.25"],
+        ["ir_r1_k5_s2_e6_c80_se0.25", "ir_r1_k5_s1_e6_c80_se0.25",
+         "ir_r1_k3_s1_e3_c80_se0.25", "ir_r1_k3_s1_e3_c80_se0.25"],
+        ["ir_r1_k3_s1_e6_c112_se0.25", "ir_r1_k5_s1_e6_c112_se0.25",
+         "ir_r1_k5_s1_e6_c112_se0.25", "ir_r1_k3_s1_e3_c112_se0.25"],
+        ["ir_r1_k5_s2_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25",
+         "ir_r1_k5_s1_e6_c192_se0.25", "ir_r1_k5_s1_e6_c192_se0.25"],
+        ["cn_r1_k1_s1_c960"],
+    ],
+}
 _TINYNET_COEFFS = {  # (width, depth) — Han et al. NeurIPS'20 table 6
     "a": (1.0, 1.2), "b": (0.75, 1.1), "c": (0.54, 0.85),
     "d": (0.68, 0.54), "e": (0.51, 0.6),
@@ -399,6 +509,18 @@ def mobile_cfg(name: str) -> dict:
         stem, act, se = 32, "silu", _SE_EFF
         w, d = {"b0": (1.0, 1.0), "b1": (1.0, 1.1)}[base]
         scale_stem = True
+    elif name.startswith("fbnetv3_"):
+        # timm _gen_fbnetv3: hard_swish, se_from_exp=False (ratio on block
+        # input chs), hard_sigmoid gate, relu SE act, plain-round rd chs
+        stem, arch = _FBNETV3[name[len("fbnetv3_"):]]
+        act = "hswish"
+        se = dict(base="in", divisor=1, gate="hard_sigmoid", act="relu")
+    elif name.startswith("hardcorenas_"):
+        # timm _gen_hardcorenas: mobilenetv3 conventions, stem 32,
+        # se_from_exp=False with make_divisible-8 rounding
+        arch = _HARDCORENAS[name[len("hardcorenas_"):]]
+        stem, act = 32, "hswish"
+        se = dict(base="in", divisor=8, gate="hard_sigmoid", act="relu")
     elif name == "fbnetc_100":
         arch, stem, act, se = _FBNETC, 16, "relu", _SE_MNAS
     elif name == "spnasnet_100":

@@ -106,13 +106,15 @@ class NFBlock(nn.Module):
     attn: str = "se0.5"
     act: str = "gelu"
     bottle_ratio: float = 0.5
+    reg: bool = False  # NF-RegNet: mid from in chs, SE mid after the 3x3
     train: bool = False
     dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         act = _act(self.act)
-        mid = int(self.out_ch * self.bottle_ratio)
+        base = x.shape[-1] if self.reg else self.out_ch
+        mid = int(base * self.bottle_ratio)
         groups = max(1, mid // self.group_width) if self.group_width else 1
         mid = groups * self.group_width if self.group_width else mid
 
@@ -133,8 +135,19 @@ class NFBlock(nn.Module):
             y = ScaledStdConv(mid, 3, 1, groups, dtype=self.dtype,
                               name="conv2b")(y)
             y = act(y)
+        if self.reg and self.attn.startswith("se"):
+            # NF-RegNet places SE on the expanded mid channels
+            ratio = float(self.attn[2:])
+            rd = max(1, int(mid * ratio))
+            s = y.mean(axis=(1, 2), keepdims=True)
+            s = nn.Conv(rd, (1, 1), dtype=self.dtype, name="se_fc1")(s)
+            s = nn.relu(s)
+            s = nn.Conv(mid, (1, 1), dtype=self.dtype, name="se_fc2")(s)
+            y = y * (2.0 * nn.sigmoid(s))
         y = ScaledStdConv(self.out_ch, 1, dtype=self.dtype, name="conv3")(y)
-        if self.attn.startswith("se"):
+        if self.reg:
+            pass
+        elif self.attn.startswith("se"):
             ratio = float(self.attn[2:])
             rd = max(1, int(self.out_ch * ratio))
             s = y.mean(axis=(1, 2), keepdims=True)
@@ -175,6 +188,32 @@ class NFNet(nn.Module):
                     y = NFBlock(
                         ch, 2 if (transition and si > 0) else 1, beta,
                         alpha, 0, False, "none", "relu", 0.25,
+                        self.train, self.dtype, name=f"s{si}_b{bi}",
+                    )(y)
+                    expected_var = (
+                        1.0 if transition else expected_var
+                    ) + alpha ** 2
+                feats.append(y)
+            feats[-1] = act(feats[-1])
+            return feats
+
+        if self.variant == "nf_regnet_b1":
+            # timm nfnet.py _nfreg_cfg(depths=(2,4,7,7)): RegNetY-B widths
+            # (48,104,208,440) x width 0.75 (rounded /8), group size 8,
+            # bottle 2.25 from in chs, SE(0.5) on mid, SiLU, 3x3 stem.
+            act = _act("silu")
+            y = ScaledStdConv(40, 3, 2, dtype=self.dtype, name="stem")(x)
+            feats = [act(y)]
+            expected_var = 1.0
+            for si, (ch, n) in enumerate(
+                zip((40, 80, 160, 328), (2, 4, 7, 7))
+            ):
+                for bi in range(n):
+                    transition = bi == 0
+                    beta = math.sqrt(expected_var)
+                    y = NFBlock(
+                        ch, 2 if transition else 1, beta, alpha, 8,
+                        False, "se0.5", "silu", 2.25, True,
                         self.train, self.dtype, name=f"s{si}_b{bi}",
                     )(y)
                     expected_var = (

@@ -36,7 +36,18 @@ REGNETZ_SPECS = {
                    "tiered", 1792),
     "regnetz_e8": ((3, 8, 16, 3), (96, 192, 384, 512), 8, 4.0, 64,
                    "tiered", 2048),
+    # regnetz_040/040h (timm regnet.py flavor): stage table generated from
+    # the published RegNet width function (w0=48, wa=14.5, wm=2.226,
+    # depth=28, q=8); 040h adds the 1536 hidden head conv, 040 has none.
+    "regnetz_040": ((2, 6, 14, 6), (48, 104, 240, 528), 8, 4.0, 32, "", 0),
+    "regnetz_040h": ((2, 6, 14, 6), (48, 104, 240, 528), 8, 4.0, 32, "",
+                     1536),
 }
+
+# regnet.py-flavor z models compute the bottleneck width from the OUT
+# channels (paper w_b = w*b); the byobnet "ts" flavors expand from the in
+# channels. Only differs on the first block of each stage.
+_MID_FROM_OUT = ("regnetz_040", "regnetz_040h")
 
 
 def _conv(feat, k, s=1, groups=1, name=None, dtype=None):
@@ -69,13 +80,15 @@ class RegNetZBlock(nn.Module):
     group_size: int
     bottle_ratio: float
     evos: bool = False
+    mid_from_out: bool = False
     train: bool = False
     dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        mid = int(round(in_ch * self.bottle_ratio / self.group_size)
+        base = self.out_ch if self.mid_from_out else in_ch
+        mid = int(round(base * self.bottle_ratio / self.group_size)
                   ) * self.group_size
         y = _conv(mid, 1, name="conv1", dtype=self.dtype)(x)
         y = _ZNorm(self.evos, True, self.train, self.dtype, name="n1")(y)
@@ -129,13 +142,15 @@ class RegNetZ(nn.Module):
         for si, (ch, d) in enumerate(zip(chans, depths)):
             for bi in range(d):
                 y = RegNetZBlock(
-                    ch, 2 if bi == 0 else 1, gs, br, evos, self.train,
+                    ch, 2 if bi == 0 else 1, gs, br, evos,
+                    name in _MID_FROM_OUT, self.train,
                     self.dtype, name=f"s{si}_b{bi}",
                 )(y)
             feats.append(y)
-        y = _conv(head, 1, name="final", dtype=self.dtype)(y)
-        y = _ZNorm(evos, True, self.train, self.dtype, name="final_n")(y)
-        feats[-1] = y
+        if head:
+            y = _conv(head, 1, name="final", dtype=self.dtype)(y)
+            y = _ZNorm(evos, True, self.train, self.dtype, name="final_n")(y)
+            feats[-1] = y
         return feats
 
 

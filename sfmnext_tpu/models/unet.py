@@ -193,9 +193,9 @@ def parse_resnet_variant(name: str) -> dict:
 
 
 def _is_byob(name: str) -> bool:
-    from sfmnext_tpu.models.byob import BYOB_SPECS
+    from sfmnext_tpu.models.byob import BYOB_SPECS, QRESNET_SPECS
 
-    return name in BYOB_SPECS
+    return name in BYOB_SPECS or name in QRESNET_SPECS
 
 
 class Unet(nn.Module):
@@ -234,7 +234,8 @@ class Unet(nn.Module):
              "tf_efficientnet_lite", "efficientnet_e", "tf_efficientnet_e",
              "mobilenetv3_", "tf_mobilenetv3_", "lcnet_", "mnasnet_",
              "semnasnet_", "spnasnet_", "tinynet_", "mixnet_", "tf_mixnet_",
-             "fbnetc_", "gc_efficientnetv2_", "tf_efficientnet_cc_")
+             "fbnetc_", "fbnetv3_", "hardcorenas_", "gc_efficientnetv2_",
+             "tf_efficientnet_cc_")
         ):
             from sfmnext_tpu.models.mobile_builder import MobileTrunk
 
@@ -280,7 +281,7 @@ class Unet(nn.Module):
                 name="encoder",
             )(x)
         elif backbone.startswith(("dm_nfnet_", "eca_nfnet_", "nfnet_",
-                                  "nf_resnet")):
+                                  "nf_resnet", "nf_regnet")):
             from sfmnext_tpu.models.nfnet import NFNet
 
             feats = NFNet(
@@ -338,9 +339,14 @@ class Unet(nn.Module):
                 name="encoder",
             )(x)
         elif _is_byob(backbone):
-            from sfmnext_tpu.models.byob import ByobResNet
+            from sfmnext_tpu.models.byob import (
+                QRESNET_SPECS,
+                ByobResNet,
+                QResNet,
+            )
 
-            feats = ByobResNet(
+            cls = QResNet if backbone in QRESNET_SPECS else ByobResNet
+            feats = cls(
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)[1:]
@@ -378,9 +384,7 @@ class Unet(nn.Module):
                 variant=backbone, train=self.train, dtype=self.dtype,
                 name="encoder",
             )(x)[1:]
-        elif backbone.startswith("regnetz_") and not backbone.startswith(
-            ("regnetz_040",)
-        ):
+        elif backbone.startswith("regnetz_"):
             from sfmnext_tpu.models.regnetz import RegNetZ
 
             feats = RegNetZ(

@@ -70,7 +70,17 @@ def make_dataset(opt: Options, filenames, is_train: bool):
     elif opt.dataset in ("mc_dataset", "mc_mini_dataset"):
         from sfmnext_tpu.data.mannequin import MCDataset
 
-        cls = MCDataset
+        # reference trainer_indoor.py reads --intrinsics_file_path for MC
+        return MCDataset(
+            opt.data_path,
+            filenames,
+            opt.height,
+            opt.width,
+            opt.all_frame_ids,
+            is_train=is_train,
+            img_ext=opt.img_ext,
+            intrinsics_file=opt.intrinsics_file_path or None,
+        )
     else:
         cls = datasets[opt.dataset]
     return cls(
@@ -158,7 +168,8 @@ class Trainer:
 
         # observability ---------------------------------------------------
         self.writers = {
-            mode: MetricWriter(self.log_path, mode) for mode in ("train", "val")
+            mode: MetricWriter(self.log_path, mode, use_jsonl=opt.log_jsonl)
+            for mode in ("train", "val")
         }
         self.throughput = ThroughputLogger(opt.batch_size, self.num_total_steps)
         dump_options(opt, self.log_path)
@@ -186,7 +197,7 @@ class Trainer:
             if folder is None:
                 print("-> no checkpoint yet; starting fresh", flush=True)
         if folder:
-            self.load_model(folder)
+            self.load_model(folder, restore_all=self._resumed_latest)
             self.step = int(self.state.step)
         elif opt.load_adam:
             if not (opt.load_pretrained_model and opt.load_pt_folder):
@@ -461,14 +472,19 @@ class Trainer:
         ckpt.save_checkpoint(folder, self.state, self.opt)
         print(f"-> saved checkpoint {folder}", flush=True)
 
-    def load_model(self, folder: Optional[str] = None):
-        """Full resume: params + batch_stats + optimizer state + step.
+    def load_model(self, folder: Optional[str] = None,
+                   restore_all: bool = False):
+        """Resume: params + batch_stats + optimizer state + step.
 
-        The reference's load_model restores adam.pth whenever it is present
-        (trainer.py:680-688); our checkpoints always carry opt_state, so a
-        resumed run continues Adam moments and the LR-schedule count
-        exactly. Restoring against the live state as target keeps the
-        optax pytree structure (namedtuples) intact.
+        Module selection follows the reference: only the modules named in
+        ``--models_to_load`` are restored (trainer.py:671-678); the rest
+        keep their fresh init. The optimizer state loads whenever present,
+        like the reference's adam.pth (:680-688) — our checkpoints always
+        carry opt_state, so a resumed run continues Adam moments and the
+        LR-schedule count exactly. ``restore_all=True`` (the
+        ``latest`` preemption path, no reference counterpart) restores
+        every module regardless. Restoring against the live state as
+        target keeps the optax pytree structure (namedtuples) intact.
         """
         folder = folder or self.opt.load_weights_folder
         restored = ckpt.load_checkpoint(
@@ -479,13 +495,26 @@ class Trainer:
                 "opt_state": self.state.opt_state,
             },
         )
+        wanted = set(self.opt.models_to_load)
+        skipped = [] if restore_all else sorted(
+            set(self.state.params) - wanted
+        )
+        params = dict(restored["params"])
+        stats = dict(restored["batch_stats"])
+        for m in skipped:
+            params[m] = self.state.params[m]
+            if m in self.state.batch_stats:
+                stats[m] = self.state.batch_stats[m]
         self.state = self.state.replace(
-            params=restored["params"],
-            batch_stats=restored["batch_stats"],
+            params=params,
+            batch_stats=stats,
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
         )
-        print(f"-> loaded checkpoint {folder} (incl. opt_state)", flush=True)
+        msg = f" (models_to_load skipped: {', '.join(skipped)})" if skipped \
+            else ""
+        print(f"-> loaded checkpoint {folder} (incl. opt_state){msg}",
+              flush=True)
 
     def _load_adam(self, folder: str):
         """``--load_adam`` with ``--load_pt_folder`` (indoor warm start,

@@ -107,8 +107,27 @@ def imagenet_resnet(
     return params, stats
 
 
+def strip_weight_alias(backbone: str) -> str:
+    """Weight-source prefixes (ssl/swsl/tv/ig, gluon v1b) share the plain
+    base topology — mirror of the Unet dispatch (models/unet.py:211-217)."""
+    for pre in ("ssl_", "swsl_", "tv_", "ig_"):
+        if backbone.startswith(pre):
+            backbone = backbone[len(pre):]
+    if backbone.startswith("gluon_") and backbone.endswith("_v1b"):
+        backbone = backbone[len("gluon_"):-len("_v1b")]
+    return backbone
+
+
 def _imagenet_encoder_backbone(opt) -> Tuple[dict, dict]:
-    """(params, batch_stats) for the depth encoder's backbone submodule."""
+    """(params, batch_stats) for the depth encoder's backbone submodule.
+
+    Dispatches every backbone family that has a golden-tested converter in
+    utils.torch_port (the reference initializes ALL Unet backbones
+    pretrained, networks/Unet.py:114-117). Raw timm state_dicts carry no
+    module prefix, so the per-family converters run with prefix="".
+    """
+    import re
+
     from sfmnext_tpu.utils import torch_port as tp
 
     backbone = opt.backbone
@@ -119,20 +138,67 @@ def _imagenet_encoder_backbone(opt) -> Tuple[dict, dict]:
     if backbone == "eff_b5":
         sd = _load_sd("tf_efficientnet_b5_ap.pth")
         return tp.convert_efficientnet_b5(sd)
-    # timm-Unet families (Unet.py:114-117). Raw timm state_dicts carry no
-    # module prefix, so the per-family converters run with prefix="".
-    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
-        layers = int("".join(c for c in backbone if c.isdigit()) or 50)
-        return tp.convert_resnet_encoder(_load_sd(f"{backbone}.pth"), layers)
-    if backbone.startswith("convnext"):
+
+    name = strip_weight_alias(backbone)  # routing name; file keeps the alias
+    fname = f"{backbone}.pth"
+
+    if name.startswith("convnext"):
         from sfmnext_tpu.models.convnext import convnext_cfg
 
-        depths, _ = convnext_cfg(backbone)
-        return tp.convert_convnext(_load_sd(f"{backbone}.pth"), depths), {}
-    if "efficientnet" in backbone:
-        return tp.convert_efficientnet_b5(
-            _load_sd(f"{backbone}.pth"), variant=backbone
-        )
+        depths, _ = convnext_cfg(name)
+        return tp.convert_convnext(_load_sd(fname), depths), {}
+    if re.search(r"efficientnet_(b\d|l2)", name):
+        return tp.convert_efficientnet_b5(_load_sd(fname), variant=name)
+    if name.startswith(
+        ("efficientnetv2_", "tf_efficientnetv2_", "efficientnet_lite",
+         "tf_efficientnet_lite", "mobilenetv3_", "tf_mobilenetv3_",
+         "lcnet_", "mnasnet_", "semnasnet_", "spnasnet_", "tinynet_")
+    ):
+        return tp.convert_mobile_trunk(_load_sd(fname), name)
+    if name.startswith(("regnetx_", "regnety_")):
+        return tp.convert_regnet(_load_sd(fname), name)
+    if name.startswith("resnetv2_"):
+        return tp.convert_resnetv2(_load_sd(fname), name)
+    if name.startswith("resnest"):
+        return tp.convert_resnest(_load_sd(fname), name)
+    if name.startswith(("dm_nfnet_", "eca_nfnet_", "nfnet_")):
+        return tp.convert_nfnet(_load_sd(fname), name), {}
+    if name.startswith("dpn"):
+        return tp.convert_dpn(_load_sd(fname), name)
+    if name.startswith("hrnet_"):
+        return tp.convert_hrnet(_load_sd(fname), name)
+    if name.startswith("ese_vovnet"):
+        return tp.convert_vovnet(_load_sd(fname), name)
+    if name.startswith("repvgg_"):
+        return tp.convert_repvgg(_load_sd(fname), name)
+    if name.startswith(
+        ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
+         "legacy_seresnet", "legacy_seresnext", "ecaresnet", "gluon_")
+    ) and not name.startswith(("resnetrs",)):
+        from sfmnext_tpu.models.unet import parse_resnet_variant
+
+        try:
+            kw = parse_resnet_variant(name)
+        except (ValueError, KeyError) as e:
+            raise NotImplementedError(
+                f"no ImageNet-init converter for backbone {backbone!r} "
+                f"({e}); pass '--weights_init scratch'"
+            ) from e
+        sd = _load_sd(fname)
+        try:
+            if kw["stem_type"] or kw["attn"] or kw["se_reduction"] \
+                    or kw["avg_down"]:
+                return tp.convert_timm_resnet(
+                    sd, kw["num_layers"], stem_type=kw["stem_type"],
+                    se_reduction=kw["se_reduction"], attn=kw["attn"],
+                )
+            return tp.convert_resnet_encoder(sd, kw["num_layers"])
+        except KeyError as e:
+            raise NotImplementedError(
+                f"ImageNet-init converter does not cover backbone "
+                f"{backbone!r} (missing key {e}); "
+                "pass '--weights_init scratch'"
+            ) from e
     raise NotImplementedError(
         f"no ImageNet-init converter for backbone {backbone!r}; "
         "pass '--weights_init scratch'"

@@ -5,7 +5,8 @@ Behavioral reference: trainer.py:173-175 (train/val SummaryWriters),
 :627-636 (opt.json config dump).
 
 TB is optional (torch.utils.tensorboard when importable); the jsonl stream
-is always written — it is the canonical record for tooling.
+(the canonical record for tooling) is on by default and gated by
+``--log_jsonl``.
 """
 
 from __future__ import annotations
@@ -28,11 +29,15 @@ def sec_to_hm_str(t: float) -> str:
 class MetricWriter:
     """Per-mode (train/val) metric sink: jsonl + optional TensorBoard."""
 
-    def __init__(self, log_dir: str, mode: str, use_tb: bool = True):
+    def __init__(self, log_dir: str, mode: str, use_tb: bool = True,
+                 use_jsonl: bool = True):
         self.mode = mode
         self.dir = os.path.join(log_dir, mode)
         os.makedirs(self.dir, exist_ok=True)
-        self.jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self.jsonl = (
+            open(os.path.join(self.dir, "metrics.jsonl"), "a")
+            if use_jsonl else None
+        )
         self.tb = None
         if use_tb:
             try:
@@ -43,10 +48,11 @@ class MetricWriter:
                 self.tb = None
 
     def scalars(self, step: int, values: Dict[str, float]):
-        rec = {"step": int(step), "time": time.time()}
-        rec.update({k: float(v) for k, v in values.items()})
-        self.jsonl.write(json.dumps(rec) + "\n")
-        self.jsonl.flush()
+        if self.jsonl is not None:
+            rec = {"step": int(step), "time": time.time()}
+            rec.update({k: float(v) for k, v in values.items()})
+            self.jsonl.write(json.dumps(rec) + "\n")
+            self.jsonl.flush()
         if self.tb is not None:
             for k, v in values.items():
                 self.tb.add_scalar(k, float(v), step)
@@ -76,7 +82,8 @@ class MetricWriter:
                 )
 
     def close(self):
-        self.jsonl.close()
+        if self.jsonl is not None:
+            self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
 

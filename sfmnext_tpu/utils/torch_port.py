@@ -392,6 +392,9 @@ def convert_convnext_unet(sd: Dict[str, np.ndarray], backbone: str):
 
 def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
     """Reference Unet checkpoint for any supported timm backbone family."""
+    from sfmnext_tpu.utils.imagenet_init import strip_weight_alias
+
+    backbone = strip_weight_alias(backbone)
     if backbone.startswith("convnext"):
         return convert_convnext_unet(sd, backbone)
     import re as _re
@@ -441,13 +444,28 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
             {"encoder": enc_p, "decoder": dec_p},
             {"encoder": enc_s, "decoder": dec_s},
         )
-    if backbone.startswith(("regnetx_", "regnety_")):
-        enc_p, enc_s = convert_regnet(sd, backbone, prefix="encoder.")
-        dec_p, dec_s = convert_unet_decoder(sd, n_blocks=4, prefix="decoder.")
-        return (
-            {"encoder": enc_p, "decoder": dec_p},
-            {"encoder": enc_s, "decoder": dec_s},
-        )
+    family_converters = (
+        (("regnetx_", "regnety_"), convert_regnet),
+        (("resnetv2_",), convert_resnetv2),
+        (("resnest",), convert_resnest),
+        (("dm_nfnet_", "eca_nfnet_", "nfnet_"), convert_nfnet),
+        (("dpn",), convert_dpn),
+        (("hrnet_",), convert_hrnet),
+        (("ese_vovnet",), convert_vovnet),
+        (("repvgg_",), convert_repvgg),
+    )
+    for prefixes, conv in family_converters:
+        if backbone.startswith(prefixes):
+            enc = conv(sd, backbone, prefix="encoder.")
+            # normalizer-free families return params only
+            enc_p, enc_s = enc if isinstance(enc, tuple) else (enc, {})
+            dec_p, dec_s = convert_unet_decoder(
+                sd, n_blocks=4, prefix="decoder."
+            )
+            return (
+                {"encoder": enc_p, "decoder": dec_p},
+                {"encoder": enc_s, "decoder": dec_s},
+            )
     raise NotImplementedError(f"no Unet converter for backbone {backbone!r}")
 
 

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Micro-benchmarks for the train-step hot ops, each as its OWN small jit.
+
+Rationale: the full-pipeline ablation (profile_bwd.py) needs six giant
+XLA programs; through the axon remote-compile tunnel that is ~an hour of
+compiles. Each op here compiles in seconds-to-a-minute and pins the
+backward fat directly. Sync via host transfer (block_until_ready does not
+block through the tunnel).
+
+Usage: python tools/micro_bench.py [op ...]
+ops: warp warp_bwd ssim ssim_bwd smooth resize pose encdec encdec_bwd all
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/sfmnext_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BS = 8
+H, W = 320, 1024
+
+
+def timeit(name, fn, *args, n=10):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:<36} {dt * 1e3:8.2f} ms   (compile {compile_s:5.1f}s)",
+          flush=True)
+    return dt
+
+
+def main(ops):
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(BS, H, W, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(BS, H, W, 3).astype(np.float32))
+    depth = jnp.asarray(1.0 + 9.0 * rng.rand(BS, H, W, 1).astype(np.float32))
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 0.58 * W, 1.92 * H, 0.5 * W, 0.5 * H
+    K = jnp.asarray(np.tile(K, (BS, 1, 1)))
+    inv_K = jnp.linalg.inv(K)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.02
+    T = jnp.asarray(np.tile(T, (BS, 1, 1)))
+
+    from sfmnext_tpu.ops import losses as L
+    from sfmnext_tpu.ops.image import resize_bilinear
+    from sfmnext_tpu.ops.warp import warp_frame
+
+    if "warp" in ops:
+        f = jax.jit(lambda s, d: warp_frame(s, d, inv_K, K, T,
+                                            use_pallas=True)[0])
+        timeit("pallas warp fwd", f, img, depth)
+
+    if "warp_bwd" in ops:
+        def loss(d):
+            w, _ = warp_frame(img, d, inv_K, K, T, use_pallas=True)
+            return (w * img2).sum()
+
+        g = jax.jit(jax.grad(loss))
+        timeit("pallas warp fwd+bwd (d-depth)", g, depth)
+
+    if "ssim" in ops:
+        def ssim_stack(a, b, tgt):
+            ts = L.reprojection_losses_stacked([a, b], tgt)
+            return ts.sum()
+
+        f = jax.jit(ssim_stack)
+        timeit("ssim 2-stack fwd", f, img, img2, img)
+
+    if "ssim_bwd" in ops:
+        def ssim_loss(a, b):
+            return L.reprojection_losses_stacked([a, b], img).sum()
+
+        g = jax.jit(jax.grad(ssim_loss, argnums=(0, 1)))
+        timeit("ssim 2-stack fwd+bwd", g, img, img2)
+
+    if "ssim_bf16" in ops:
+        ib, i2b = img.astype(jnp.bfloat16), img2.astype(jnp.bfloat16)
+
+        def ssim_loss16(a, b):
+            ts = L.ssim_target_stats(ib)
+            return L.reprojection_losses_stacked(
+                [a, b], ib, target_stats=ts
+            ).astype(jnp.float32).sum()
+
+        g = jax.jit(jax.grad(ssim_loss16, argnums=(0, 1)))
+        timeit("ssim 2-stack bf16 fwd+bwd", g, ib, i2b)
+
+    if "smooth" in ops:
+        def sm(d):
+            mean_d = d.mean(axis=(1, 2, 3), keepdims=True)
+            return L.edge_aware_smoothness(d / (mean_d + 1e-7), img)
+
+        g = jax.jit(jax.grad(sm))
+        timeit("smoothness fwd+bwd", g, depth)
+
+    if "resize" in ops:
+        half = jnp.asarray(
+            rng.rand(BS, H // 2, W // 2, 1).astype(np.float32)
+        )
+
+        def rz(d):
+            return resize_bilinear(d, (H, W), align_corners=False).sum()
+
+        g = jax.jit(jax.grad(rz))
+        timeit("resize half->full fwd+bwd", g, half)
+
+    if "pose" in ops:
+        from sfmnext_tpu.models.pose_cnn import PoseCNN
+
+        m = PoseCNN(num_input_frames=2)
+        pair = jnp.concatenate([img, img2], axis=-1)
+        pair2 = jnp.concatenate([pair, pair], axis=0)  # batched 2 pairs
+        params = m.init(jax.random.PRNGKey(0), pair2)["params"]
+
+        def pf(p):
+            aa, t = m.apply({"params": p}, pair2)
+            return (aa.sum() + t.sum())
+
+        g = jax.jit(jax.grad(pf))
+        timeit("posecnn batched-pairs fwd+bwd", g, params)
+
+    if "encdec" in ops or "encdec_bwd" in ops:
+        from sfmnext_tpu.config import Options
+        from sfmnext_tpu.training.builder import build_models, init_params
+
+        opt = Options(
+            backbone="resnet", num_layers=50, num_features=512, model_dim=32,
+            patch_size=20, query_nums=128, dim_out=128, height=H, width=W,
+            batch_size=BS,
+        ).validate()
+        models = build_models(opt, train=True)
+        variables = init_params(opt, models, jax.random.PRNGKey(0))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        if "encdec" in ops:
+            @jax.jit
+            def ed(p, x):
+                feats, _ = models.encoder.apply(
+                    {"params": p["encoder"], "batch_stats": stats["encoder"]},
+                    x, mutable=["batch_stats"],
+                )
+                return models.depth.apply(
+                    {"params": p["depth"]}, feats,
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )["disp0"]
+
+            timeit("encoder+decoder fwd", ed, params, img)
+
+        if "encdec_bwd" in ops:
+            @jax.jit
+            def edg(p, x):
+                def f(p):
+                    feats, _ = models.encoder.apply(
+                        {"params": p["encoder"],
+                         "batch_stats": stats["encoder"]},
+                        x, mutable=["batch_stats"],
+                    )
+                    out = models.depth.apply(
+                        {"params": p["depth"]}, feats,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                    )
+                    return out["disp0"].sum()
+
+                grads = jax.grad(f)(
+                    {"encoder": p["encoder"], "depth": p["depth"]}
+                )
+                return sum(
+                    g.sum() for g in jax.tree_util.tree_leaves(grads)
+                )
+
+            timeit("encoder+decoder fwd+bwd", edg, params, img)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["all"]
+    if "all" in args:
+        args = ["warp", "warp_bwd", "ssim", "ssim_bwd", "smooth", "resize",
+                "pose", "encdec", "encdec_bwd"]
+    main(args)
