@@ -10,7 +10,34 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from sfmnext_tpu.models.common import TorchConv
+from sfmnext_tpu.models.common import (
+    S2DConv,
+    TorchConv,
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
+
+
+class _S2DTorchConv(nn.Module):
+    """Stride-2 TorchConv routed through space-to-depth (common.S2DConv).
+
+    Keeps TorchConv's param tree ({Conv_0: {kernel, bias}}) and torch
+    default inits, so converters and checkpoints are unaffected.
+    """
+
+    features: int
+    kernel: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = self.kernel * self.kernel * x.shape[-1]
+        return S2DConv(
+            self.features, self.kernel, use_bias=True,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype, name="Conv_0",
+        )(x)
 
 
 class PoseCNN(nn.Module):
@@ -35,8 +62,16 @@ class PoseCNN(nn.Module):
         ]
         y = x if self.dtype is None else x.astype(self.dtype)
         for i, (ch, k, s, p) in enumerate(specs):
-            y = TorchConv(ch, (k, k), strides=(s, s), padding=p,
-                          dtype=self.dtype, name=f"conv{i}")(y)
+            # the big-kernel stride-2 convs on thin channels (6->16 at
+            # full res, 16->32 at 1/2) are MXU-hostile; space-to-depth
+            # folds the stride into channels at identical weights
+            if k > 3 and s == 2 and y.shape[1] % 2 == 0 \
+                    and y.shape[2] % 2 == 0:
+                y = _S2DTorchConv(ch, k, dtype=self.dtype,
+                                  name=f"conv{i}")(y)
+            else:
+                y = TorchConv(ch, (k, k), strides=(s, s), padding=p,
+                              dtype=self.dtype, name=f"conv{i}")(y)
             y = nn.relu(y)
 
         n_out = self.num_input_frames - 1

@@ -59,7 +59,7 @@ def main(ops):
 
     if "warp" in ops:
         f = jax.jit(lambda s, d: warp_frame(s, d, inv_K, K, T,
-                                            use_pallas=True)[0])
+                                            use_pallas=True)[0].sum())
         timeit("pallas warp fwd", f, img, depth)
 
     if "warp_bwd" in ops:
@@ -67,7 +67,7 @@ def main(ops):
             w, _ = warp_frame(img, d, inv_K, K, T, use_pallas=True)
             return (w * img2).sum()
 
-        g = jax.jit(jax.grad(loss))
+        g = jax.jit(lambda d: jax.grad(loss)(d).sum())
         timeit("pallas warp fwd+bwd (d-depth)", g, depth)
 
     if "ssim" in ops:
@@ -82,7 +82,9 @@ def main(ops):
         def ssim_loss(a, b):
             return L.reprojection_losses_stacked([a, b], img).sum()
 
-        g = jax.jit(jax.grad(ssim_loss, argnums=(0, 1)))
+        g = jax.jit(lambda a, b: sum(
+            x.sum() for x in jax.grad(ssim_loss, argnums=(0, 1))(a, b)
+        ))
         timeit("ssim 2-stack fwd+bwd", g, img, img2)
 
     if "ssim_bf16" in ops:
@@ -94,7 +96,9 @@ def main(ops):
                 [a, b], ib, target_stats=ts
             ).astype(jnp.float32).sum()
 
-        g = jax.jit(jax.grad(ssim_loss16, argnums=(0, 1)))
+        g = jax.jit(lambda a, b: sum(
+            x.sum() for x in jax.grad(ssim_loss16, argnums=(0, 1))(a, b)
+        ).astype(jnp.float32))
         timeit("ssim 2-stack bf16 fwd+bwd", g, ib, i2b)
 
     if "smooth" in ops:
@@ -102,7 +106,7 @@ def main(ops):
             mean_d = d.mean(axis=(1, 2, 3), keepdims=True)
             return L.edge_aware_smoothness(d / (mean_d + 1e-7), img)
 
-        g = jax.jit(jax.grad(sm))
+        g = jax.jit(lambda d: jax.grad(sm)(d).sum())
         timeit("smoothness fwd+bwd", g, depth)
 
     if "resize" in ops:
@@ -113,7 +117,7 @@ def main(ops):
         def rz(d):
             return resize_bilinear(d, (H, W), align_corners=False).sum()
 
-        g = jax.jit(jax.grad(rz))
+        g = jax.jit(lambda d: jax.grad(rz)(d).sum())
         timeit("resize half->full fwd+bwd", g, half)
 
     if "pose" in ops:
@@ -128,7 +132,9 @@ def main(ops):
             aa, t = m.apply({"params": p}, pair2)
             return (aa.sum() + t.sum())
 
-        g = jax.jit(jax.grad(pf))
+        g = jax.jit(lambda p: sum(
+            x.sum() for x in jax.tree_util.tree_leaves(jax.grad(pf)(p))
+        ))
         timeit("posecnn batched-pairs fwd+bwd", g, params)
 
     if "encdec" in ops or "encdec_bwd" in ops:
@@ -154,7 +160,7 @@ def main(ops):
                 return models.depth.apply(
                     {"params": p["depth"]}, feats,
                     rngs={"dropout": jax.random.PRNGKey(0)},
-                )["disp0"]
+                )["disp0"].sum()
 
             timeit("encoder+decoder fwd", ed, params, img)
 
@@ -183,9 +189,190 @@ def main(ops):
             timeit("encoder+decoder fwd+bwd", edg, params, img)
 
 
+
+
+def encoder_stages():
+    """Time the ResNet-50 encoder stem/stages separately (train-mode BN),
+    plus eval-mode BN and conv-only ablations, to locate the encoder fat."""
+    import flax.linen as nn
+    from sfmnext_tpu.models.common import BatchNorm, max_pool_3x3_s2
+    from sfmnext_tpu.models.resnet import ResNetEncoder
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(BS, H, W, 3).astype(np.float32))
+
+    for train_mode, tag in ((True, "train"), (False, "eval")):
+        enc = ResNetEncoder(num_layers=50, train=train_mode,
+                            dtype=jnp.bfloat16, normalize_input=False)
+        variables = enc.init(jax.random.PRNGKey(0), img)
+
+        def apply_enc(v, x):
+            if train_mode:
+                feats, _ = enc.apply(v, x, mutable=["batch_stats"])
+            else:
+                feats = enc.apply(v, x)
+            return sum(f.astype(jnp.float32).sum() for f in feats)
+
+        f = jax.jit(apply_enc)
+        timeit(f"resnet50 encoder fwd ({tag} BN)", f, variables, img)
+
+        def loss(p, bs, x):
+            v = {"params": p, "batch_stats": bs}
+            if train_mode:
+                feats, _ = enc.apply(v, x, mutable=["batch_stats"])
+            else:
+                feats = enc.apply(v, x)
+            return sum(f.astype(jnp.float32).sum() for f in feats)
+
+        g = jax.jit(lambda p, bs, x: sum(
+            q.sum() for q in jax.tree_util.tree_leaves(
+                jax.grad(loss)(p, bs, x)
+            )
+        ).astype(jnp.float32))
+        timeit(f"resnet50 encoder fwd+bwd ({tag} BN)", g,
+               variables["params"], variables["batch_stats"], img)
+
+    # stem alone: 7x7/s2 conv (+BN train +relu +maxpool)
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, dtype=jnp.bfloat16)(x)
+            y = BatchNorm(False, dtype=jnp.bfloat16)(y)
+            return max_pool_3x3_s2(nn.relu(y))
+
+    stem = Stem()
+    sv = stem.init(jax.random.PRNGKey(0), img)
+
+    def stem_loss(v, x):
+        y, _ = stem.apply(v, x, mutable=["batch_stats"])
+        return y.astype(jnp.float32).sum()
+
+    timeit("stem 7x7s2+bn+pool fwd", jax.jit(stem_loss), sv, img)
+    g = jax.jit(lambda v, x: jax.grad(
+        lambda p: stem_loss({"params": p,
+                             "batch_stats": sv["batch_stats"]}, x)
+    )(v["params"])["Conv_0"]["kernel"].sum().astype(jnp.float32))
+    timeit("stem fwd+bwd", g, sv, img)
+
+    # plain 3x3 conv at layer1 geometry (the MXU reference point)
+    x1 = jnp.asarray(
+        rng.rand(BS, H // 4, W // 4, 256).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    k1 = jnp.asarray(
+        rng.rand(3, 3, 256, 256).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def conv_ref(x, k):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=dn
+        ).astype(jnp.float32).sum()
+
+    timeit("3x3 conv 256ch @80x256 fwd", conv_ref, x1, k1)
+
+def decoder_split(sql_only=False):
+    """DecoderBN vs SQL-decoder cost at bs8 320x1024 (train mode)."""
+    from sfmnext_tpu.models.decoder_bn import DecoderBN
+    from sfmnext_tpu.models.sql_decoder import SQLDecoder
+
+    rng = np.random.RandomState(0)
+    shapes = [
+        (BS, H // 2, W // 2, 64),
+        (BS, H // 4, W // 4, 256),
+        (BS, H // 8, W // 8, 512),
+        (BS, H // 16, W // 16, 1024),
+        (BS, H // 32, W // 32, 2048),
+    ]
+    feats = [
+        jnp.asarray(rng.rand(*s).astype(np.float32)).astype(jnp.bfloat16)
+        for s in shapes
+    ]
+    if not sql_only:
+        _decoder_bn_bench(feats)
+    _sql_bench(rng)
+
+
+def _decoder_bn_bench(feats):
+    from sfmnext_tpu.models.decoder_bn import DecoderBN
+
+    dec = DecoderBN(512, 32, train=True, dtype=jnp.bfloat16)
+    dv = dec.init(jax.random.PRNGKey(0), feats)
+
+    def dloss(p, feats):
+        y, _ = dec.apply(
+            {"params": p, "batch_stats": dv["batch_stats"]}, feats,
+            mutable=["batch_stats"],
+        )
+        return y.astype(jnp.float32).sum()
+
+    timeit("decoder_bn fwd", jax.jit(dloss), dv["params"], feats)
+    g = jax.jit(lambda p, f: sum(
+        q.sum() for q in jax.tree_util.tree_leaves(jax.grad(dloss)(p, f))
+    ).astype(jnp.float32))
+    timeit("decoder_bn fwd+bwd", g, dv["params"], feats)
+
+
+
+def _sql_bench(rng):
+    from sfmnext_tpu.models.sql_decoder import SQLDecoder
+
+    x = jnp.asarray(
+        rng.rand(BS, H // 2, W // 2, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    sql = SQLDecoder(
+        embedding_dim=32, patch_size=20, query_nums=128, dim_out=128,
+        deterministic=False, dtype=jnp.bfloat16,
+    )
+    sv = sql.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x,
+    )
+
+    def sloss(p, x):
+        out = sql.apply(
+            {"params": p}, x, rngs={"dropout": jax.random.PRNGKey(0)}
+        )
+        return out["disp0"].astype(jnp.float32).sum()
+
+    timeit("sql decoder fwd", jax.jit(sloss), sv["params"], x)
+    g2 = jax.jit(lambda p, x: sum(
+        q.sum() for q in jax.tree_util.tree_leaves(jax.grad(sloss)(p, x))
+    ).astype(jnp.float32))
+    timeit("sql decoder fwd+bwd", g2, sv["params"], x)
+
+
+def pose_split():
+    from sfmnext_tpu.models.pose_cnn import PoseCNN
+
+    rng = np.random.RandomState(0)
+    pair2 = jnp.asarray(rng.rand(2 * BS, H, W, 6).astype(np.float32))
+    m = PoseCNN(num_input_frames=2)
+    params = m.init(jax.random.PRNGKey(0), pair2)["params"]
+
+    def pf(p, x):
+        aa, t = m.apply({"params": p}, x)
+        return aa.sum() + t.sum()
+
+    timeit("posecnn fwd", jax.jit(pf), params, pair2)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:] or ["all"]
+    if "stages" in args:
+        encoder_stages()
+        sys.exit(0)
+    if "decoder" in args:
+        decoder_split()
+        pose_split()
+        sys.exit(0)
+    if "sqlpose" in args:
+        decoder_split(sql_only=True)
+        pose_split()
+        sys.exit(0)
     if "all" in args:
-        args = ["warp", "warp_bwd", "ssim", "ssim_bwd", "smooth", "resize",
-                "pose", "encdec", "encdec_bwd"]
+        args = ["warp", "warp_bwd", "ssim", "ssim_bwd", "ssim_bf16",
+                "smooth", "resize", "pose", "encdec", "encdec_bwd"]
     main(args)
