@@ -61,17 +61,18 @@ def make_optimizer(opt: Options, steps_per_epoch: int) -> optax.GradientTransfor
         )
 
     if opt.diff_lr:
-        # pose net at lr/10 (trainer.py:128-131)
+        # pose net at lr/10 (trainer.py:128-131); the indoor trainer also
+        # puts rectify in the 0.1x group (trainer_indoor.py:147-151)
         def label_fn(params):
             return {
                 k: jax.tree_util.tree_map(
-                    lambda _: "pose" if k == "pose" else "main", v
+                    lambda _: "low" if k in ("pose", "rectify") else "main", v
                 )
                 for k, v in params.items()
             }
 
         tx = optax.multi_transform(
-            {"main": adam(1.0), "pose": adam(0.1)}, label_fn
+            {"main": adam(1.0), "low": adam(0.1)}, label_fn
         )
     else:
         tx = adam(1.0)

@@ -518,14 +518,27 @@ class Trainer:
 
     def _load_adam(self, folder: str):
         """``--load_adam`` with ``--load_pt_folder`` (indoor warm start,
-        reference trainer_indoor.py:157-166): restore only opt_state."""
+        reference trainer_indoor.py:157-166): restore only opt_state.
+
+        Torch ``adam.pth`` imports through utils/adam_port.py — the moment
+        tensors are recovered by the reference's parameter-group order and
+        converted with the same layout transforms as the weights."""
         if os.path.exists(os.path.join(folder, "adam.pth")):
-            raise NotImplementedError(
-                "adam.pth (torch) import is not supported: torch Adam "
-                "state is keyed by parameter order, which has no stable "
-                "mapping onto the optax tree. Resume from an orbax "
-                "checkpoint (load_weights_folder) instead."
+            from sfmnext_tpu.utils import adam_port
+
+            mu, nu, count = adam_port.convert_adam_pth(
+                folder, self.opt, modules=tuple(self.state.params)
             )
+            self.state = self.state.replace(
+                opt_state=adam_port.inject_adam_state(
+                    self.state.opt_state, mu, nu, count
+                )
+            )
+            print(
+                f"-> imported torch Adam state from {folder}/adam.pth "
+                f"(step {count})", flush=True,
+            )
+            return
         restored = ckpt.load_checkpoint(
             folder,
             target_payload={
