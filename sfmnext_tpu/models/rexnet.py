@@ -34,7 +34,10 @@ def rexnet_cfg(width_mult: float):
     for _ in range(n_blocks):
         chs.append(make_divisible(round(base * width_mult), 1))
         base += 180.0 / n_blocks
-    stem = make_divisible(round(32 * width_mult), 4 if width_mult < 1 else 8)
+    # official clovaai/rexnet rexnetv1.py: stem_channel = 32/wm if wm < 1
+    # else 32; out = round(stem_channel * wm) (no divisibility rounding)
+    stem = int(round((32.0 / width_mult if width_mult < 1 else 32.0)
+                     * width_mult))
     return stem, list(zip(chs, strides, exp, use_se))
 
 
@@ -72,8 +75,10 @@ class LinearBottleneck(nn.Module):
         y = self._conv(y, mid, 3, self.stride, groups=mid, name="conv_dw")
         y = self._bn(y, "bn_dw")
         if self.use_se:
-            # official ReXNet SE normalizes the squeezed vector (SEWithNorm)
-            rd = make_divisible(int(mid / 12), 8)
+            # official ReXNet SE normalizes the squeezed vector (SEWithNorm,
+            # clovaai rexnetv1.py SE: rd = channels // se_ratio with
+            # se_ratio=12, no divisibility rounding — timm ch_div=1)
+            rd = max(1, int(mid / 12))
             s = y.mean(axis=(1, 2), keepdims=True)
             s = nn.Conv(rd, (1, 1), dtype=self.dtype, name="se_reduce")(s)
             s = self._bn(s, "se_bn")

@@ -171,6 +171,10 @@ def _imagenet_encoder_backbone(opt) -> Tuple[dict, dict]:
         return tp.convert_vovnet(_load_sd(fname), name)
     if name.startswith("repvgg_"):
         return tp.convert_repvgg(_load_sd(fname), name)
+    if name.startswith("ghostnet_"):
+        return tp.convert_ghostnet(_load_sd(fname), name)
+    if name.startswith("rexnet_"):
+        return tp.convert_rexnet(_load_sd(fname), name)
     if name.startswith(
         ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
          "legacy_seresnet", "legacy_seresnext", "ecaresnet", "gluon_")

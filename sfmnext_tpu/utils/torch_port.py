@@ -453,6 +453,8 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
         (("hrnet_",), convert_hrnet),
         (("ese_vovnet",), convert_vovnet),
         (("repvgg_",), convert_repvgg),
+        (("ghostnet_",), convert_ghostnet),
+        (("rexnet_",), convert_rexnet),
     )
     for prefixes, conv in family_converters:
         if backbone.startswith(prefixes):
@@ -1177,4 +1179,116 @@ def convert_repvgg(sd: Dict[str, np.ndarray], variant: str,
     for si, d in enumerate(depths):
         for bi in range(d):
             block(f"stage{si}_block{bi}", f"stages.{si}.{bi}")
+    return params, stats
+
+
+# ---------------------------------------------------------------- ghostnet
+
+
+def convert_ghostnet(sd: Dict[str, np.ndarray], variant: str = "ghostnet_100",
+                     prefix: str = ""):
+    """timm GhostNet state_dict -> (params, batch_stats) for
+    models.ghostnet.GhostNet.
+
+    timm naming (timm/models/ghostnet.py): ``conv_stem``/``bn1`` stem;
+    ``blocks.{stage}.{j}`` GhostBottlenecks — ``ghost{1,2}`` modules are
+    ``primary_conv.{0,1}`` + ``cheap_operation.{0,1}`` Sequentials, stride
+    blocks carry ``conv_dw``/``bn_dw``, SE is the efficientnet-style
+    ``se.conv_reduce/conv_expand`` (hard-sigmoid gate), and the projection
+    shortcut is the 4-entry ``shortcut`` Sequential (dw conv, bn, pw conv,
+    bn); the 1x1 head is the ConvBnAct at ``blocks.9.0`` (.conv/.bn1).
+    """
+    del variant  # key-driven; widths come from the checkpoint shapes
+    stage_sizes = (1, 1, 1, 1, 1, 1, 5, 1, 4)
+
+    def bn_pair(dst_p, dst_s, name, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name] = {"BatchNorm_0": p}
+        dst_s[name] = {"BatchNorm_0": s}
+
+    params: Dict[str, Any] = {
+        "stem": {"kernel": _conv_w(sd[prefix + "conv_stem.weight"])}
+    }
+    stats: Dict[str, Any] = {}
+    bn_pair(params, stats, "stem_bn", "bn1")
+    i = 0
+    for st, n in enumerate(stage_sizes):
+        for j in range(n):
+            src = f"blocks.{st}.{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for g in ("ghost1", "ghost2"):
+                gp: Dict[str, Any] = {}
+                gs: Dict[str, Any] = {}
+                gp["primary"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.{g}.primary_conv.0.weight"])}
+                bn_pair(gp, gs, "bn1", f"{src}.{g}.primary_conv.1")
+                gp["cheap"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.{g}.cheap_operation.0.weight"])}
+                bn_pair(gp, gs, "bn2", f"{src}.{g}.cheap_operation.1")
+                bp[g], bs[g] = gp, gs
+            if f"{prefix}{src}.conv_dw.weight" in sd:
+                bp["dw"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.conv_dw.weight"])}
+                bn_pair(bp, bs, "dw_bn", f"{src}.bn_dw")
+            if f"{prefix}{src}.se.conv_reduce.weight" in sd:
+                bp["se_reduce"] = _conv_pb(sd, f"{prefix}{src}.se.conv_reduce")
+                bp["se_expand"] = _conv_pb(sd, f"{prefix}{src}.se.conv_expand")
+            if f"{prefix}{src}.shortcut.0.weight" in sd:
+                bp["short_dw"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.shortcut.0.weight"])}
+                bn_pair(bp, bs, "short_dw_bn", f"{src}.shortcut.1")
+                bp["short_pw"] = {"kernel": _conv_w(
+                    sd[f"{prefix}{src}.shortcut.2.weight"])}
+                bn_pair(bp, bs, "short_pw_bn", f"{src}.shortcut.3")
+            params[f"block{i}"], stats[f"block{i}"] = bp, bs
+            i += 1
+    params["head"] = {"kernel": _conv_w(sd[prefix + "blocks.9.0.conv.weight"])}
+    bn_pair(params, stats, "head_bn", "blocks.9.0.bn1")
+    return params, stats
+
+
+# ------------------------------------------------------------------ rexnet
+
+
+def convert_rexnet(sd: Dict[str, np.ndarray], variant: str = "rexnet_100",
+                   prefix: str = ""):
+    """timm ReXNet state_dict -> (params, batch_stats) for
+    models.rexnet.ReXNet.
+
+    timm naming (timm/models/rexnet.py): ``stem`` ConvNormAct (.conv/.bn);
+    ``features.{i}`` LinearBottlenecks with ConvNormAct ``conv_exp`` /
+    ``conv_dw`` / ``conv_pwl`` and the SEWithNorm ``se`` (fc1 -> bn -> fc2,
+    1x1 convs with bias). Our ReXNet uses raw nn.BatchNorm (flat
+    scale/bias), so no BatchNorm_0 nesting here.
+    """
+    del variant
+    params: Dict[str, Any] = {
+        "stem_conv": {"kernel": _conv_w(sd[prefix + "stem.conv.weight"])}
+    }
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, prefix + "stem.bn")
+    i = 0
+    while f"{prefix}features.{i}.conv_dw.conv.weight" in sd:
+        src = f"features.{i}"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        if f"{prefix}{src}.conv_exp.conv.weight" in sd:
+            bp["conv_exp"] = {"kernel": _conv_w(
+                sd[f"{prefix}{src}.conv_exp.conv.weight"])}
+            bp["bn_exp"], bs["bn_exp"] = _bn(sd, f"{prefix}{src}.conv_exp.bn")
+        bp["conv_dw"] = {"kernel": _conv_w(
+            sd[f"{prefix}{src}.conv_dw.conv.weight"])}
+        bp["bn_dw"], bs["bn_dw"] = _bn(sd, f"{prefix}{src}.conv_dw.bn")
+        if f"{prefix}{src}.se.fc1.weight" in sd:
+            bp["se_reduce"] = _conv_pb(sd, f"{prefix}{src}.se.fc1")
+            bp["se_bn"], bs["se_bn"] = _bn(sd, f"{prefix}{src}.se.bn")
+            bp["se_expand"] = _conv_pb(sd, f"{prefix}{src}.se.fc2")
+        bp["conv_pwl"] = {"kernel": _conv_w(
+            sd[f"{prefix}{src}.conv_pwl.conv.weight"])}
+        bp["bn_pwl"], bs["bn_pwl"] = _bn(sd, f"{prefix}{src}.conv_pwl.bn")
+        params[f"block{i}"], stats[f"block{i}"] = bp, bs
+        i += 1
+    if i == 0:
+        raise KeyError(f"no ReXNet blocks found under prefix {prefix!r}")
     return params, stats

@@ -1429,3 +1429,279 @@ def test_repvgg_port_matches_torch(variant):
         np.testing.assert_allclose(
             g_, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# -------------------------------------------------------------- ghostnet
+
+
+class _GhostModule(nn.Module):
+    """timm ghostnet.py GhostModule naming (primary_conv/cheap_operation)."""
+
+    def __init__(self, inp, oup, relu=True):
+        super().__init__()
+        self.out_chs = oup
+        init_ch = math.ceil(oup / 2)
+        self.primary_conv = nn.Sequential(
+            nn.Conv2d(inp, init_ch, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(init_ch),
+            nn.ReLU(inplace=True) if relu else nn.Sequential(),
+        )
+        self.cheap_operation = nn.Sequential(
+            nn.Conv2d(init_ch, init_ch, 3, 1, 1, groups=init_ch, bias=False),
+            nn.BatchNorm2d(init_ch),
+            nn.ReLU(inplace=True) if relu else nn.Sequential(),
+        )
+
+    def forward(self, x):
+        x1 = self.primary_conv(x)
+        x2 = self.cheap_operation(x1)
+        return torch.cat([x1, x2], dim=1)[:, : self.out_chs]
+
+
+class _GhostSE(nn.Module):
+    """efficientnet-style SqueezeExcite w/ hard-sigmoid gate, divisor 4."""
+
+    def __init__(self, ch, se_ratio=0.25):
+        super().__init__()
+        from sfmnext_tpu.models.mobile_builder import make_divisible
+
+        rd = make_divisible(ch * se_ratio, 4)
+        self.conv_reduce = nn.Conv2d(ch, rd, 1, bias=True)
+        self.conv_expand = nn.Conv2d(rd, ch, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(F.relu(self.conv_reduce(s)))
+        return x * (F.relu6(s + 3.0) / 6.0)
+
+
+class _GhostBottleneck(nn.Module):
+    def __init__(self, in_chs, mid, out, k, s, se):
+        super().__init__()
+        self.stride = s
+        self.ghost1 = _GhostModule(in_chs, mid, relu=True)
+        if s > 1:
+            self.conv_dw = nn.Conv2d(
+                mid, mid, k, s, (k - 1) // 2, groups=mid, bias=False
+            )
+            self.bn_dw = nn.BatchNorm2d(mid)
+        self.se = _GhostSE(mid) if se > 0 else None
+        self.ghost2 = _GhostModule(mid, out, relu=False)
+        if in_chs == out and s == 1:
+            self.shortcut = nn.Sequential()
+        else:
+            self.shortcut = nn.Sequential(
+                nn.Conv2d(in_chs, in_chs, k, s, (k - 1) // 2,
+                          groups=in_chs, bias=False),
+                nn.BatchNorm2d(in_chs),
+                nn.Conv2d(in_chs, out, 1, bias=False),
+                nn.BatchNorm2d(out),
+            )
+
+    def forward(self, x):
+        res = x
+        x = self.ghost1(x)
+        if self.stride > 1:
+            x = self.bn_dw(self.conv_dw(x))
+        if self.se is not None:
+            x = self.se(x)
+        x = self.ghost2(x)
+        return x + self.shortcut(res)
+
+
+class _GhostConvBnAct(nn.Module):
+    def __init__(self, i, o):
+        super().__init__()
+        self.conv = nn.Conv2d(i, o, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(o)
+
+    def forward(self, x):
+        return F.relu(self.bn1(self.conv(x)))
+
+
+class TorchGhostNet(nn.Module):
+    """timm ghostnet_100 layout: conv_stem/bn1 + blocks.{0..8} stages +
+    the blocks.9 ConvBnAct head; stage grouping per timm's cfgs table."""
+
+    def __init__(self, width=1.0):
+        super().__init__()
+        from sfmnext_tpu.models.ghostnet import GHOSTNET_CFG
+        from sfmnext_tpu.models.mobile_builder import make_divisible
+
+        sizes = (1, 1, 1, 1, 1, 1, 5, 1, 4)
+        stem = make_divisible(16 * width, 4)
+        self.conv_stem = nn.Conv2d(3, stem, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(stem)
+        stages, prev, i = [], stem, 0
+        for n in sizes:
+            layers = []
+            for _ in range(n):
+                k, e, c, se, s = GHOSTNET_CFG[i]
+                mid = make_divisible(e * width, 4)
+                out = make_divisible(c * width, 4)
+                layers.append(_GhostBottleneck(prev, mid, out, k, s, se))
+                prev = out
+                i += 1
+            stages.append(nn.Sequential(*layers))
+        stages.append(nn.Sequential(
+            _GhostConvBnAct(prev, make_divisible(960 * width, 4))
+        ))
+        self.blocks = nn.Sequential(*stages)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv_stem(x)))
+        red, feats = 2, {2: x}
+        for stage in self.blocks:
+            for blk in stage:
+                x = blk(x)
+                if getattr(blk, "stride", 1) == 2:
+                    red *= 2
+                feats[red] = x
+        return [feats[r] for r in (2, 4, 8, 16, 32)]
+
+
+def test_ghostnet_port_matches_torch():
+    from sfmnext_tpu.models.ghostnet import GhostNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchGhostNet().eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_ghostnet(sd)
+
+    model = GhostNet(variant="ghostnet_100", train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
+
+
+# ---------------------------------------------------------------- rexnet
+
+
+class _RexConvNormAct(nn.Module):
+    def __init__(self, i, o, k=1, s=1, g=1, act=None):
+        super().__init__()
+        self.conv = nn.Conv2d(i, o, k, s, k // 2, groups=g, bias=False)
+        self.bn = nn.BatchNorm2d(o)
+        self.act = act
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return self.act(x) if self.act is not None else x
+
+
+class _SEWithNorm(nn.Module):
+    """timm rexnet.py SEWithNorm: fc1 -> bn -> relu -> fc2 -> sigmoid."""
+
+    def __init__(self, ch, rd):
+        super().__init__()
+        self.fc1 = nn.Conv2d(ch, rd, 1, bias=True)
+        self.bn = nn.BatchNorm2d(rd)
+        self.fc2 = nn.Conv2d(rd, ch, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.fc2(F.relu(self.bn(self.fc1(s))))
+        return x * torch.sigmoid(s)
+
+
+class _RexLinearBottleneck(nn.Module):
+    def __init__(self, in_ch, out_ch, stride, exp, use_se):
+        super().__init__()
+        self.in_channels = in_ch
+        self.stride = stride
+        self.use_shortcut = stride == 1 and in_ch <= out_ch
+        if exp != 1:
+            dw = int(round(in_ch * exp))
+            self.conv_exp = _RexConvNormAct(in_ch, dw, act=nn.SiLU())
+        else:
+            dw = in_ch
+            self.conv_exp = None
+        self.conv_dw = _RexConvNormAct(dw, dw, 3, stride, g=dw)
+        self.se = _SEWithNorm(dw, max(1, int(dw / 12))) if use_se else None
+        self.conv_pwl = _RexConvNormAct(dw, out_ch)
+
+    def forward(self, x):
+        sc = x
+        if self.conv_exp is not None:
+            x = self.conv_exp(x)
+        x = self.conv_dw(x)
+        if self.se is not None:
+            x = self.se(x)
+        x = F.relu6(x)
+        x = self.conv_pwl(x)
+        if self.use_shortcut:
+            x = torch.cat(
+                [x[:, : self.in_channels] + sc, x[:, self.in_channels:]], 1
+            )
+        return x
+
+
+class TorchReXNet(nn.Module):
+    """timm rexnet_* layout: stem ConvNormAct + features.{i} bottlenecks."""
+
+    def __init__(self, width=1.0):
+        super().__init__()
+        from sfmnext_tpu.models.rexnet import rexnet_cfg
+
+        stem, blocks = rexnet_cfg(width)
+        self.stem = _RexConvNormAct(3, stem, 3, 2, act=nn.SiLU())
+        feats, prev = [], stem
+        for ch, s, e, se in blocks:
+            feats.append(_RexLinearBottleneck(prev, ch, s, e, se))
+            prev = ch
+        self.features = nn.Sequential(*feats)
+
+    def forward(self, x):
+        x = self.stem(x)
+        red, feats = 2, {2: x}
+        for blk in self.features:
+            x = blk(x)
+            if blk.stride == 2:
+                red *= 2
+            feats[red] = x
+        return [feats[r] for r in (2, 4, 8, 16, 32)]
+
+
+@pytest.mark.parametrize("variant", ["rexnet_100", "rexnet_130"])
+def test_rexnet_port_matches_torch(variant):
+    from sfmnext_tpu.models.rexnet import ReXNet
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchReXNet(int(variant.split("_")[1]) / 100.0).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_rexnet(sd, variant)
+
+    model = ReXNet(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect)
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )

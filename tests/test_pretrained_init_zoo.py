@@ -71,6 +71,10 @@ CASES = [
      lambda sd: tp.convert_repvgg(sd, "repvgg_b0")),
     ("regnety_002", lambda: encoders.TorchRegNet("regnety_002"),
      lambda sd: tp.convert_regnet(sd, "regnety_002")),
+    ("ghostnet_100", lambda: golden.TorchGhostNet(),
+     lambda sd: tp.convert_ghostnet(sd, "ghostnet_100")),
+    ("rexnet_100", lambda: golden.TorchReXNet(1.0),
+     lambda sd: tp.convert_rexnet(sd, "rexnet_100")),
 ]
 
 
