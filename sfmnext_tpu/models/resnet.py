@@ -248,11 +248,7 @@ class ResNetEncoder(nn.Module):
                 y = BatchNorm(not self.train, dtype=self.dtype, name=f"bn1_{i}")(y)
                 y = nn.relu(y)
         else:
-            # 7x7/s2 stem via space-to-depth (see common.S2DConv) — exact
-            # same weights/tree as the plain conv, ~3x faster on the MXU
-            from sfmnext_tpu.models.common import S2DConv
-
-            y = S2DConv(64, 7, dtype=self.dtype, name="conv1")(x)
+            y = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
             y = _norm(y, self.train, self.dtype, "bn1", self.norm)
             y = nn.relu(y)
         features.append(y)

@@ -120,6 +120,19 @@ def main(ops):
         g = jax.jit(lambda d: jax.grad(rz)(d).sum())
         timeit("resize half->full fwd+bwd", g, half)
 
+    if "augment" in ops:
+        from sfmnext_tpu.data.augment import augment_batch
+
+        stack = jnp.stack([img, img, img2], axis=1)  # [B,F,H,W,3]
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def aug(c, k):
+            out = augment_batch({"color": c}, k)
+            return out["color_aug"].sum() + out["color"].sum()
+
+        timeit("augment flip+jitter", aug, stack, key)
+
     if "pose" in ops:
         from sfmnext_tpu.models.pose_cnn import PoseCNN
 
