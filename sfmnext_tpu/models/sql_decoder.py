@@ -35,6 +35,7 @@ from sfmnext_tpu.models.common import (
     torch_default_kernel_init,
 )
 from sfmnext_tpu.ops import sql_attention
+from sfmnext_tpu.ops.pallas import sql_kernel
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -162,6 +163,7 @@ class SQLDecoder(nn.Module):
     deterministic: bool = True
     dtype: object = None
     return_energy: bool = False  # expose energy maps (attn_visualize tool)
+    use_pallas: bool = False  # fused flash-SQL kernels (TPU hot path)
 
     @nn.compact
     def __call__(self, x0):
@@ -211,10 +213,25 @@ class SQLDecoder(nn.Module):
         # 4. coarse queries = first Q tokens
         queries = y[:, : self.query_nums, :]  # [B,Q,E]
 
-        # 5. per-pixel features + FullQueryLayer cross-attention
+        # 5. per-pixel features + FullQueryLayer cross-attention.
+        # On the TPU hot path the softmax-over-pixels summary runs as a
+        # flash-attention Pallas kernel and the energy volume is never
+        # materialized (recomputed inside the bins head, step 8); the XLA
+        # path remains the reference implementation and serves
+        # return_energy / CPU / odd shapes.
         feats = TorchConv(self.embedding_dim, (3, 3), padding=1,
                           dtype=self.dtype, name="conv3x3")(x0)
-        energy, summary = sql_attention.sql_full_query(feats, queries)
+        fused = (
+            self.use_pallas
+            and not self.return_energy
+            and self.dtype == jnp.bfloat16
+            and sql_kernel.supports(h * w)
+        )
+        if fused:
+            energy = None
+            summary = sql_kernel.sql_summary(feats, queries)
+        else:
+            energy, summary = sql_attention.sql_full_query(feats, queries)
 
         # 6. bins regressor MLP on flattened summaries (f32: tiny, and the
         # normalized widths feed a cumsum that sets metric bin edges)
@@ -248,9 +265,14 @@ class SQLDecoder(nn.Module):
         conv_b = self.param(
             "prob_bias", torch_default_bias_init(self.query_nums), (self.dim_out,)
         )
-        depth = sql_attention.sql_bins_to_depth(
-            energy, conv_w, conv_b, centers, compute_dtype=self.dtype
-        )
+        if fused:
+            depth = sql_kernel.sql_depth(
+                feats, queries, conv_w, conv_b, centers
+            )
+        else:
+            depth = sql_attention.sql_bins_to_depth(
+                energy, conv_w, conv_b, centers, compute_dtype=self.dtype
+            )
 
         out = {"disp0": depth.astype(jnp.float32), "bin_centers": centers}
         if self.return_energy:

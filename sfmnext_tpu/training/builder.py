@@ -81,6 +81,8 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
             dtype=dtype,
         )
 
+    import jax
+
     depth = SQLDecoder(
         embedding_dim=opt.model_dim,
         patch_size=opt.patch_size,
@@ -92,6 +94,9 @@ def build_models(opt: Options, train: bool) -> ModelBundle:
         ffn_dim=512 if backbone.endswith("_lite") else 1024,
         deterministic=not train,
         dtype=dtype,
+        # fused flash-SQL Pallas kernels (ops/pallas/sql_kernel.py) on the
+        # TPU hot path; the XLA path stays the reference implementation
+        use_pallas=opt.use_pallas and jax.default_backend() == "tpu",
     )
 
     pose = None

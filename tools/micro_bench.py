@@ -9,6 +9,12 @@ block through the tunnel).
 
 Usage: python tools/micro_bench.py [op ...]
 ops: warp warp_bwd ssim ssim_bwd smooth resize pose encdec encdec_bwd all
+
+IMPORTANT (r4 finding, `floor` op): every jit dispatch through the axon
+tunnel costs ~4.5 ms and dispatches do NOT pipeline — every number this
+tool prints is the true device time PLUS ~4.5 ms. Deltas between rows
+are floor-free; absolute values are not. Sync on scalars only: fetching
+a whole output array drags it through the ~0.5 GB/s tunnel.
 """
 
 import sys
@@ -357,6 +363,134 @@ def _sql_bench(rng):
     timeit("sql decoder fwd+bwd", g2, sv["params"], x)
 
 
+def sql_parts():
+    """Split the SQL decoder: patchify+transformer | full_query | bins head.
+
+    r4 profile_encoder.py put the whole SQL decoder at 17.2 ms fwd+bwd
+    (bs8 320x1024) for only 138 GFLOP — 4% MFU. The suspected fat is HBM
+    traffic on the [B, 81920, 128] energy/logits volumes; these pieces
+    confirm which stage pays it.
+    """
+    from sfmnext_tpu.ops import sql_attention
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(
+        rng.rand(BS, H // 2, W // 2, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    queries = jnp.asarray(
+        rng.rand(BS, 128, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.rand(128, 128).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.rand(128).astype(np.float32) * 0.05)
+    centers = jnp.asarray(1.0 + 79.0 * rng.rand(BS, 128).astype(np.float32))
+
+    def fq(f, q):
+        energy, summary = sql_attention.sql_full_query(f, q)
+        return energy.astype(jnp.float32).sum() + summary.sum()
+
+    def fq_sum_only(f, q):
+        # energy unused downstream of the summary (XLA may DCE its store)
+        _, summary = sql_attention.sql_full_query(f, q)
+        return summary.sum()
+
+    def bins(f, q, w, b, c):
+        energy, _ = sql_attention.sql_full_query(f, q)
+        return sql_attention.sql_bins_to_depth(
+            energy, w, b, c, compute_dtype=jnp.bfloat16
+        ).astype(jnp.float32).sum()
+
+    timeit("full_query fwd (energy+summary)", jax.jit(fq), feats, queries)
+    timeit("full_query fwd (summary only)", jax.jit(fq_sum_only), feats, queries)
+    timeit(
+        "full_query fwd+bwd",
+        jax.jit(lambda f, q: sum(
+            x.astype(jnp.float32).sum()
+            for x in jax.grad(fq, argnums=(0, 1))(f, q)
+        )),
+        feats, queries,
+    )
+    timeit("energy->bins->depth fwd", jax.jit(bins), feats, queries, w, b, centers)
+    timeit(
+        "energy->bins->depth fwd+bwd",
+        jax.jit(lambda *a: sum(
+            x.astype(jnp.float32).sum()
+            for x in jax.grad(bins, argnums=(0, 1, 2, 3, 4))(*a)
+        )),
+        feats, queries, w, b, centers,
+    )
+
+
+def floor_probe():
+    """Per-jit-call dispatch floor through the axon tunnel.
+
+    timeit() launches n back-to-back calls then syncs once; if the tunnel
+    serializes dispatches, every micro number carries this floor. The
+    copy row also bounds achievable HBM read+write bandwidth per call.
+    """
+    rng = np.random.RandomState(0)
+    tiny = jnp.asarray(rng.rand(8, 8).astype(np.float32))
+    big = jnp.asarray(rng.rand(8, 160, 512, 32).astype(np.float32)).astype(
+        jnp.bfloat16
+    )  # 67 MB — the SQL feature map
+
+    # sync on scalars: fetching a full output array pulls it through the
+    # tunnel (67 MB at ~0.5 GB/s network = 140 ms of pure transfer)
+    f_tiny = jax.jit(lambda x: (x * 1.000001).sum())
+    f_big = jax.jit(lambda x: (x * 1.000001).astype(jnp.float32).sum())
+    t0 = timeit("dispatch floor (8x8 mul+sum)", f_tiny, tiny)
+    t1 = timeit("mul+sum 67MB", f_big, big)
+    print(f"implied hbm bw: {2 * big.size * 2 / max(t1 - t0, 1e-9) / 1e9:.0f}"
+          f" GB/s (read+write, floor-corrected)")
+
+
+def sql_flash():
+    """Fused flash-SQL Pallas kernels vs the XLA path at bs8 320x1024."""
+    from sfmnext_tpu.ops import sql_attention
+    from sfmnext_tpu.ops.pallas import sql_kernel
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(
+        rng.rand(BS, H // 2, W // 2, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    queries = jnp.asarray(
+        rng.rand(BS, 128, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.rand(128, 128).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.rand(128).astype(np.float32) * 0.05)
+    centers = jnp.asarray(1.0 + 79.0 * rng.rand(BS, 128).astype(np.float32))
+
+    def summary_p(f, q):
+        return sql_kernel.sql_summary(f, q).sum()
+
+    def depth_p(f, q, w, b, c):
+        return sql_kernel.sql_depth(f, q, w, b, c).sum()
+
+    timeit("flash summary fwd", jax.jit(summary_p), feats, queries)
+    timeit(
+        "flash summary fwd+bwd",
+        jax.jit(lambda f, q: sum(
+            x.astype(jnp.float32).sum()
+            for x in jax.grad(summary_p, argnums=(0, 1))(f, q)
+        )),
+        feats, queries,
+    )
+    timeit("flash bins depth fwd", jax.jit(depth_p), feats, queries, w, b, centers)
+    timeit(
+        "flash bins depth fwd+bwd",
+        jax.jit(lambda *a: sum(
+            x.astype(jnp.float32).sum()
+            for x in jax.grad(depth_p, argnums=(0, 1, 2, 3, 4))(*a)
+        )),
+        feats, queries, w, b, centers,
+    )
+
+    # numerics vs the XLA path on-device
+    s_ref = sql_attention.sql_full_query(feats, queries)[1]
+    s_got = jax.jit(sql_kernel.sql_summary)(feats, queries)
+    err = float(jnp.abs(s_got - s_ref).max())
+    print(f"summary max |pallas - xla| = {err:.4f}")
+
+
 def pose_split():
     from sfmnext_tpu.models.pose_cnn import PoseCNN
 
@@ -384,6 +518,15 @@ if __name__ == "__main__":
     if "sqlpose" in args:
         decoder_split(sql_only=True)
         pose_split()
+        sys.exit(0)
+    if "sqlparts" in args:
+        sql_parts()
+        sys.exit(0)
+    if "sqlflash" in args:
+        sql_flash()
+        sys.exit(0)
+    if "floor" in args:
+        floor_probe()
         sys.exit(0)
     if "all" in args:
         args = ["warp", "warp_bwd", "ssim", "ssim_bwd", "ssim_bf16",

@@ -4,6 +4,13 @@
 profile_step.py showed (r3 baseline, bs8 320x1024): fwd 40 ms, backward
 93 ms. This times jax.grad of the full pipeline with pieces knocked out
 (stop_gradient / flags) — the deltas attribute the backward milliseconds.
+
+NOTE: absolutes include the ~4.5 ms axon per-dispatch floor (see
+tools/micro_bench.py `floor`); the printed deltas are floor-free.
+r4 numbers (bs8 320x1024, pre-flash-SQL): full 94.1 (≈89.6 real),
+encdec-only 63.3 (≈58.8 real), loss-chain total 30.7, of which pose 4.0,
+ssim-vs-l1 4.9, ident-stack 1.6, smoothness ~0 — leaving ~20 ms of
+warp/geometry/resize/min-combine.
 """
 
 import dataclasses
