@@ -304,19 +304,41 @@ def forward(
     # maps stay f32 (box_filter_reflect accumulates f32).
     use_ssim = not opt.no_ssim
     target_l = target.astype(ldt)
-    tstats = L.ssim_target_stats(target_l) if use_ssim else None
-    reproj = L.reprojection_losses_stacked(
-        [w.astype(ldt) for w in warped_srcs],
-        target_l, opt.ssim_weight, use_ssim, tstats,
-    ).astype(jnp.float32)  # [B,H,W,F]
-    ident = None
-    if not opt.disable_automasking:
-        ident = jax.lax.stop_gradient(
-            L.reprojection_losses_stacked(
-                [s.astype(ldt) for s in ident_srcs],
-                target_l, opt.ssim_weight, use_ssim, tstats,
-            ).astype(jnp.float32)
+    # Fused Pallas SSIM+L1 on the TPU hot path: one whole-image VMEM pass
+    # per batch element instead of ~10 pooled [B,H,W,3N] HBM round trips
+    # (ops/pallas/ssim_kernel.py; the target is data here, its cotangent
+    # is structurally zero). XLA path everywhere else.
+    fused_ssim = False
+    if use_ssim and opt.use_pallas and jax.default_backend() == "tpu":
+        from sfmnext_tpu.ops.pallas import ssim_kernel
+
+        fused_ssim = ssim_kernel.supports(h, w, len(warped_srcs))
+    if fused_ssim:
+        reproj = ssim_kernel.reprojection_losses_pallas(
+            [w.astype(ldt) for w in warped_srcs], target_l, opt.ssim_weight
         )
+        ident = None
+        if not opt.disable_automasking:
+            ident = jax.lax.stop_gradient(
+                ssim_kernel.reprojection_losses_pallas(
+                    [s.astype(ldt) for s in ident_srcs],
+                    target_l, opt.ssim_weight,
+                )
+            )
+    else:
+        tstats = L.ssim_target_stats(target_l) if use_ssim else None
+        reproj = L.reprojection_losses_stacked(
+            [w.astype(ldt) for w in warped_srcs],
+            target_l, opt.ssim_weight, use_ssim, tstats,
+        ).astype(jnp.float32)  # [B,H,W,F]
+        ident = None
+        if not opt.disable_automasking:
+            ident = jax.lax.stop_gradient(
+                L.reprojection_losses_stacked(
+                    [s.astype(ldt) for s in ident_srcs],
+                    target_l, opt.ssim_weight, use_ssim, tstats,
+                ).astype(jnp.float32)
+            )
 
     # 3b. predictive mask ablation: per-source sigmoid mask weights the
     # reprojection losses + 0.2*BCE(mask, 1) keep-alive (trainer.py:495-507)

@@ -1,0 +1,93 @@
+"""Fused SSIM+L1 Pallas kernel vs the XLA path (interpreter mode on CPU).
+
+The kernel (ops/pallas/ssim_kernel.py) must match
+ops.losses.reprojection_losses_stacked on bf16 inputs — forward map and
+the gradient to the predictions. Both paths use the same integer band
+matrices and bf16 matmuls with f32 accumulation, so tolerances are a
+few bf16 ulps of O(1) values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from sfmnext_tpu.ops import losses as L
+from sfmnext_tpu.ops.pallas import ssim_kernel
+
+B, H, W = 2, 16, 128
+
+
+def _data(seed=0, n=2):
+    rng = np.random.RandomState(seed)
+    preds = [
+        jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+        for _ in range(n)
+    ]
+    target = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    return preds, target
+
+
+def _xla(preds, target):
+    return L.reprojection_losses_stacked(
+        [p.astype(jnp.bfloat16) for p in preds],
+        target.astype(jnp.bfloat16),
+    )
+
+
+def test_forward_matches_xla():
+    preds, target = _data()
+    expect = _xla(preds, target)
+    with pltpu.force_tpu_interpret_mode():
+        got = ssim_kernel.reprojection_losses_pallas(preds, target)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=2e-2
+    )
+
+
+def test_forward_three_sources():
+    preds, target = _data(1, n=3)
+    expect = _xla(preds, target)
+    with pltpu.force_tpu_interpret_mode():
+        got = ssim_kernel.reprojection_losses_pallas(preds, target)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=2e-2
+    )
+
+
+def test_grad_matches_xla():
+    preds, target = _data(2)
+
+    def loss_x(a, b):
+        return (_xla([a, b], target) ** 2).mean()
+
+    def loss_p(a, b):
+        return (
+            ssim_kernel.reprojection_losses_pallas([a, b], target) ** 2
+        ).mean()
+
+    gx = jax.grad(loss_x, argnums=(0, 1))(*preds)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1))(*preds)
+    for a, e in zip(gp, gx):
+        scale = max(1e-4, float(jnp.abs(e).max()))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(e) / scale, atol=5e-2
+        )
+
+
+def test_target_gets_zero_gradient():
+    preds, target = _data(3)
+
+    def loss_p(t):
+        return ssim_kernel.reprojection_losses_pallas(preds, t).mean()
+
+    with pltpu.force_tpu_interpret_mode():
+        gt = jax.grad(loss_p)(target)
+    np.testing.assert_array_equal(np.asarray(gt), 0.0)
+
+
+def test_supports_gate():
+    assert ssim_kernel.supports(320, 1024, 2)
+    assert not ssim_kernel.supports(321, 1024, 2)
+    assert not ssim_kernel.supports(320, 1000, 2)

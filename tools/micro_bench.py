@@ -443,6 +443,65 @@ def floor_probe():
           f" GB/s (read+write, floor-corrected)")
 
 
+def pack_conv():
+    """Narrow-C_out conv vs horizontally-packed wide-C_out rewrite.
+
+    A 3x3 s1 conv with C_out=32 uses <=25% of the MXU's 128 output
+    lanes. Packing G=128//C_out adjacent output columns into channels
+    (stride (1,G), kernel (3, G+2), weights placed at G offsets) costs
+    (G+2)/3 x the FLOPs but fills the lanes. This measures whether the
+    trade wins on v5e for DecoderBN's shapes (up4/conv3: 128->32 and
+    32->32 at 160x512, bs8).
+    """
+    rng = np.random.RandomState(0)
+
+    def plain(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def packed(x, k, g):
+        kh, kw, cin, cout = k.shape
+        wide = jnp.zeros((kh, kw + g - 1, cin, g * cout), k.dtype)
+        for j in range(g):
+            wide = wide.at[:, j:j + kw, :, j * cout:(j + 1) * cout].set(k)
+        y = jax.lax.conv_general_dilated(
+            x, wide, (1, g), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, wq, _ = y.shape
+        return y.reshape(b, h, wq, g, cout).reshape(b, h, wq * g, cout)
+
+    for cin, cout in ((128, 32), (32, 32), (64, 64)):
+        g = 128 // cout
+        x = jnp.asarray(
+            rng.rand(BS, H // 2, W // 2, cin).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        k = jnp.asarray(
+            (rng.rand(3, 3, cin, cout).astype(np.float32) - 0.5) * 0.1
+        ).astype(jnp.bfloat16)
+        fp = jax.jit(lambda x, k: plain(x, k).astype(jnp.float32).sum())
+        fk = jax.jit(
+            lambda x, k, g=g: packed(x, k, g).astype(jnp.float32).sum()
+        )
+        err = float(jnp.abs(
+            jax.jit(plain)(x, k).astype(jnp.float32)
+            - jax.jit(lambda x, k: packed(x, k, g))(x, k).astype(jnp.float32)
+        ).max())
+        timeit(f"plain  3x3 {cin}->{cout} fwd", fp, x, k)
+        timeit(f"packed 3x3 {cin}->{cout} fwd (g={g})", fk, x, k)
+        gp = jax.jit(lambda x, k: jax.grad(
+            lambda k: plain(x, k).astype(jnp.float32).sum()
+        )(k).sum())
+        gk = jax.jit(lambda x, k, g=g: jax.grad(
+            lambda k: packed(x, k, g).astype(jnp.float32).sum()
+        )(k).sum())
+        timeit(f"plain  3x3 {cin}->{cout} dW", gp, x, k)
+        timeit(f"packed 3x3 {cin}->{cout} dW (g={g})", gk, x, k)
+        print(f"  packed-vs-plain max err: {err:.5f}")
+
+
 def sql_flash():
     """Fused flash-SQL Pallas kernels vs the XLA path at bs8 320x1024."""
     from sfmnext_tpu.ops import sql_attention
@@ -527,6 +586,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "floor" in args:
         floor_probe()
+        sys.exit(0)
+    if "packconv" in args:
+        pack_conv()
         sys.exit(0)
     if "all" in args:
         args = ["warp", "warp_bwd", "ssim", "ssim_bwd", "ssim_bf16",
