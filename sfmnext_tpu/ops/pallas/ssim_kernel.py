@@ -87,6 +87,25 @@ def _ssim_terms(mu_p, sp, spt, mu_t, st):
     return num, den, jnp.clip(s, 0.0, 1.0), s
 
 
+def _fwd_only_kernel(p_ref, t_ref, my_ref, mx_ref, out_ref, *,
+                     ct, weight):
+    # residual-free forward for stop-gradient call sites (the identity
+    # stack): skips ~5 bf16 plane stores per channel that XLA cannot DCE
+    # out of a pallas_call
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    pf, tf, mu_p, sp, spt, mu_t, st = _chan_stats(
+        p_ref[0, 0, 0], t_ref[0, 0], my_ref[...], mx_ref[...]
+    )
+    _, _, s_clip, _ = _ssim_terms(mu_p, sp, spt, mu_t, st)
+    contrib = weight * s_clip + (1.0 - weight) * jnp.abs(tf - pf)
+    out_ref[0, 0] += contrib * (1.0 / ct)
+
+
 def _fwd_kernel(p_ref, t_ref, my_ref, mx_ref,
                 out_ref, mup_ref, sp_ref, spt_ref, mut_ref, st_ref, *,
                 ct, weight):
@@ -166,6 +185,28 @@ def _bwd_kernel(p_ref, t_ref, mup_ref, sp_ref, spt_ref, mut_ref, st_ref,
     dp = dp + tf * (_box1(gspt, myt, mxt) * inv_k2)
     dp_ref[0, 0, 0] = dp.astype(dp_ref.dtype)
 
+
+
+def _call_fwd_only(p_t, t_t, my, mx, weight):
+    b, n, ct, h, w = p_t.shape
+    kern = functools.partial(_fwd_only_kernel, ct=ct, weight=weight)
+    return pl.pallas_call(
+        kern,
+        grid=(b, n, ct),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, h, w), lambda bi, si, ci: (bi, si, ci, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, h, w), lambda bi, si, ci: (bi, ci, 0, 0)),
+            pl.BlockSpec((h, h), lambda bi, si, ci: (0, 0)),
+            pl.BlockSpec((w, w), lambda bi, si, ci: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w), lambda bi, si, ci: (bi, si, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, h, w), jnp.float32),
+        compiler_params=_params(),
+    )(p_t, t_t, my, mx)
 
 
 def _params():
@@ -263,7 +304,8 @@ def _vjp_bwd(weight, res, g):
 _reproj_loss.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def reprojection_losses_pallas(preds, target, ssim_weight: float = 0.85):
+def reprojection_losses_pallas(preds, target, ssim_weight: float = 0.85,
+                               need_grad: bool = True):
     """Fused drop-in for ops.losses.reprojection_losses_stacked (SSIM on).
 
     Args:
@@ -292,7 +334,15 @@ def reprojection_losses_pallas(preds, target, ssim_weight: float = 0.85):
     mx = jnp.asarray(_box_reflect_matrix(w, _K).T.copy(), jnp.bfloat16)
     myt = jnp.asarray(_box_reflect_matrix(h, _K).T.copy(), jnp.bfloat16)
     mxt = jnp.asarray(_box_reflect_matrix(w, _K), jnp.bfloat16)
-    out = _reproj_loss(p_t, t_t, (my, mx), (myt, mxt), float(ssim_weight))
+    if need_grad:
+        out = _reproj_loss(
+            p_t, t_t, (my, mx), (myt, mxt), float(ssim_weight)
+        )
+    else:
+        # stop-gradient call sites (identity/automask stack)
+        out = _call_fwd_only(
+            jax.lax.stop_gradient(p_t), t_t, my, mx, float(ssim_weight)
+        )
     return jnp.transpose(out, (0, 2, 3, 1))
 
 

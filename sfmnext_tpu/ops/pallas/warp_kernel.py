@@ -54,9 +54,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 LANES = 128
 BAND = 32   # vertical source window per output row (multiple of 8)
 XWIN = 384  # horizontal source window per output slab (multiple of 128)
+# rows per grid step (unroll factor; SFMNEXT_WARP_ROWS for tuning sweeps)
+ROWS = int(os.environ.get("SFMNEXT_WARP_ROWS", "8"))
 
 
 def _row_setup(fy_row, fx_row, h, w, zeros: bool = False):
@@ -479,5 +483,5 @@ def grid_sample_pallas(img, grid_norm, align_corners: bool = True,
         fy = ((gy + 1.0) * h - 1.0) * 0.5
     zeros = padding_mode == "zeros"
     if image_grad or zeros:
-        return warp_sample_pallas(img, fy, fx, zeros, 8)
-    return warp_border_pallas(img, fy, fx, 8)
+        return warp_sample_pallas(img, fy, fx, zeros, ROWS)
+    return warp_border_pallas(img, fy, fx, ROWS)

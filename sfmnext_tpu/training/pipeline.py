@@ -322,7 +322,7 @@ def forward(
             ident = jax.lax.stop_gradient(
                 ssim_kernel.reprojection_losses_pallas(
                     [s.astype(ldt) for s in ident_srcs],
-                    target_l, opt.ssim_weight,
+                    target_l, opt.ssim_weight, need_grad=False,
                 )
             )
     else:

@@ -76,6 +76,16 @@ def test_grad_matches_xla():
         )
 
 
+def test_fwd_only_matches_grad_path():
+    preds, target = _data(5)
+    with pltpu.force_tpu_interpret_mode():
+        full = ssim_kernel.reprojection_losses_pallas(preds, target)
+        lean = ssim_kernel.reprojection_losses_pallas(
+            preds, target, need_grad=False
+        )
+    np.testing.assert_array_equal(np.asarray(lean), np.asarray(full))
+
+
 def test_target_gets_zero_gradient():
     preds, target = _data(3)
 
