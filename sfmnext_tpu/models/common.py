@@ -189,13 +189,14 @@ class BatchNorm(nn.Module):
 
     use_running_average: bool = True
     dtype: object = None
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         return nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
-            epsilon=1e-5,
+            epsilon=self.eps,
             dtype=self.dtype,
         )(x)
 

@@ -1292,3 +1292,65 @@ def convert_rexnet(sd: Dict[str, np.ndarray], variant: str = "rexnet_100",
     if i == 0:
         raise KeyError(f"no ReXNet blocks found under prefix {prefix!r}")
     return params, stats
+
+
+# --------------------------------------------------------------- xception
+
+
+def convert_xception(sd: Dict[str, np.ndarray], variant: str,
+                     prefix: str = ""):
+    """timm aligned-Xception state_dict -> (params, batch_stats) for
+    models.xception.Xception (standard xception41/65/71 only).
+
+    timm naming (timm/models/xception_aligned.py): ``stem.{0,1}``
+    ConvNormAct (.conv/.bn); ``blocks.{i}`` XceptionModules with the
+    ``shortcut`` ConvNormAct and ``stack.conv{1..3}`` SeparableConv2d
+    members (.conv_dw/.bn_dw/.conv_pw/.bn_pw). Preact 'p' variants are
+    Tier 2 (no published reference config uses them) and refuse here.
+    """
+    from sfmnext_tpu.models.xception import XCEPTION_SPECS
+
+    if variant.endswith("p"):
+        raise NotImplementedError(
+            f"{variant}: preact xception converter not implemented "
+            "(Tier 2, docs/backbone_fidelity.md)"
+        )
+    name = "xception65" if variant == "gluon_xception65" else variant
+    entry, middle = XCEPTION_SPECS[name]
+    n_blocks = len(entry) + middle + 2
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_pair(dst_p, dst_s, name_, src):
+        p, s = _bn(sd, prefix + src)
+        dst_p[name_] = {"BatchNorm_0": p}
+        dst_s[name_] = {"BatchNorm_0": s}
+
+    for i in range(2):
+        params[f"stem{i}"] = {"kernel": _conv_w(
+            sd[f"{prefix}stem.{i}.conv.weight"])}
+        bn_pair(params, stats, f"stem{i}_bn", f"stem.{i}.bn")
+
+    for bi in range(n_blocks):
+        src = f"blocks.{bi}"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        if f"{prefix}{src}.shortcut.conv.weight" in sd:
+            bp["down_conv"] = {"kernel": _conv_w(
+                sd[f"{prefix}{src}.shortcut.conv.weight"])}
+            bn_pair(bp, bs, "down_bn", f"{src}.shortcut.bn")
+        for j in range(3):
+            sp: Dict[str, Any] = {}
+            ss: Dict[str, Any] = {}
+            sp["conv_dw"] = {"kernel": _conv_w(
+                sd[f"{prefix}{src}.stack.conv{j + 1}.conv_dw.weight"])}
+            bn_pair(sp, ss, "bn_dw", f"{src}.stack.conv{j + 1}.bn_dw")
+            sp["conv_pw"] = {"kernel": _conv_w(
+                sd[f"{prefix}{src}.stack.conv{j + 1}.conv_pw.weight"])}
+            bn_pair(sp, ss, "bn_pw", f"{src}.stack.conv{j + 1}.bn_pw")
+            bp[f"sep{j}"] = sp
+            bs[f"sep{j}"] = ss
+        params[f"block{bi}"] = bp
+        stats[f"block{bi}"] = bs
+    return params, stats

@@ -1705,3 +1705,144 @@ def test_rexnet_port_matches_torch(variant):
         np.testing.assert_allclose(
             g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
         )
+
+
+# ---------------------------------------------------------------- xception
+
+
+class _XcnSeparable(nn.Module):
+    """timm xception_aligned SeparableConv2d naming (conv_dw/bn_dw/
+    conv_pw/bn_pw, eps 1e-3); act inside iff start_with_relu is off."""
+
+    def __init__(self, i, o, s=1, act_inside=False):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(i, i, 3, s, 1, groups=i, bias=False)
+        self.bn_dw = nn.BatchNorm2d(i, eps=1e-3)
+        self.conv_pw = nn.Conv2d(i, o, 1, bias=False)
+        self.bn_pw = nn.BatchNorm2d(o, eps=1e-3)
+        self.act_inside = act_inside
+
+    def forward(self, x):
+        x = self.bn_dw(self.conv_dw(x))
+        if self.act_inside:
+            x = F.relu(x)
+        x = self.bn_pw(self.conv_pw(x))
+        if self.act_inside:
+            x = F.relu(x)
+        return x
+
+
+class _XcnModule(nn.Module):
+    def __init__(self, in_chs, out_chs, stride=1, no_skip=False,
+                 start_with_relu=True):
+        super().__init__()
+        from collections import OrderedDict
+
+        out_chs = (out_chs,) * 3 if isinstance(out_chs, int) else out_chs
+        self.no_skip = no_skip
+        self.stride = stride
+        if not no_skip and (out_chs[-1] != in_chs or stride != 1):
+            self.shortcut = nn.Sequential(OrderedDict([
+                ("conv", nn.Conv2d(in_chs, out_chs[-1], 1, stride,
+                                   bias=False)),
+                ("bn", nn.BatchNorm2d(out_chs[-1], eps=1e-3)),
+            ]))
+        else:
+            self.shortcut = None
+        stack = OrderedDict()
+        ic = in_chs
+        for i in range(3):
+            if start_with_relu:
+                stack[f"act{i + 1}"] = nn.ReLU()
+            stack[f"conv{i + 1}"] = _XcnSeparable(
+                ic, out_chs[i], stride if i == 2 else 1,
+                act_inside=not start_with_relu,
+            )
+            ic = out_chs[i]
+        self.stack = nn.Sequential(stack)
+
+    def forward(self, x):
+        skip, tap = x, None
+        for name, m in self.stack.named_children():
+            x = m(x)
+            if name == "act3":
+                tap = x  # timm feature hook 'stack.act3'
+        if self.shortcut is not None:
+            skip = self.shortcut(skip)
+        return (x if self.no_skip else x + skip), tap
+
+
+class _XcnStemConv(nn.Module):
+    def __init__(self, i, o, s):
+        super().__init__()
+        self.conv = nn.Conv2d(i, o, 3, s, 1, bias=False)
+        self.bn = nn.BatchNorm2d(o, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchXceptionAligned(nn.Module):
+    """timm xception_aligned layout: stem.{0,1} ConvNormAct + blocks.{i}
+    XceptionModules; feature taps at stack.act3 of stride-2 modules and
+    the raw last-module output (no final act for non-preact)."""
+
+    def __init__(self, variant):
+        super().__init__()
+        from sfmnext_tpu.models.xception import XCEPTION_SPECS
+
+        entry, middle = XCEPTION_SPECS[variant]
+        self.stem = nn.Sequential(_XcnStemConv(3, 32, 2),
+                                  _XcnStemConv(32, 64, 1))
+        blocks, ic = [], 64
+        for ch, s in entry:
+            blocks.append(_XcnModule(ic, ch, s))
+            ic = ch
+        for _ in range(middle):
+            blocks.append(_XcnModule(ic, 728, 1))
+        blocks.append(_XcnModule(ic, (728, 1024, 1024), 2))
+        blocks.append(_XcnModule(
+            1024, (1536, 1536, 2048), 1, no_skip=True,
+            start_with_relu=False,
+        ))
+        self.blocks = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        x = self.stem(x)
+        taps = []
+        for blk in self.blocks:
+            x, tap = blk(x)
+            if blk.stride == 2:
+                taps.append(tap)
+        taps.append(x)
+        return taps
+
+
+@pytest.mark.parametrize("variant", ["xception41", "xception71"])
+def test_xception_port_matches_torch(variant):
+    from sfmnext_tpu.models.xception import Xception
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = TorchXceptionAligned(variant).eval()
+    with torch.no_grad():
+        _randomize_bn(ref, rng)
+
+    x = rng.rand(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expect = [t.numpy() for t in ref(torch.from_numpy(x))]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = tp.convert_xception(sd, variant)
+
+    model = Xception(variant=variant, train=False)
+    got = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    assert len(got) == len(expect) == 5
+    for i, (g, e) in enumerate(zip(got, expect)):
+        g = np.transpose(np.asarray(g), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            g, e, rtol=2e-3, atol=5e-4, err_msg=f"feature {i}"
+        )
