@@ -175,6 +175,8 @@ def _imagenet_encoder_backbone(opt) -> Tuple[dict, dict]:
         return tp.convert_ghostnet(_load_sd(fname), name)
     if name.startswith("rexnet_"):
         return tp.convert_rexnet(_load_sd(fname), name)
+    if name.startswith(("xception", "gluon_xception")):
+        return tp.convert_xception(_load_sd(fname), name)
     if name.startswith(
         ("resnet", "resnext", "wide_resnet", "seresnet", "seresnext",
          "legacy_seresnet", "legacy_seresnext", "ecaresnet", "gluon_")

@@ -455,6 +455,7 @@ def convert_unet(sd: Dict[str, np.ndarray], backbone: str):
         (("repvgg_",), convert_repvgg),
         (("ghostnet_",), convert_ghostnet),
         (("rexnet_",), convert_rexnet),
+        (("xception", "gluon_xception"), convert_xception),
     )
     for prefixes, conv in family_converters:
         if backbone.startswith(prefixes):

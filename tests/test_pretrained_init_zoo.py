@@ -75,6 +75,8 @@ CASES = [
      lambda sd: tp.convert_ghostnet(sd, "ghostnet_100")),
     ("rexnet_100", lambda: golden.TorchReXNet(1.0),
      lambda sd: tp.convert_rexnet(sd, "rexnet_100")),
+    ("xception41", lambda: golden.TorchXceptionAligned("xception41"),
+     lambda sd: tp.convert_xception(sd, "xception41")),
 ]
 
 
