@@ -57,8 +57,17 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 LANES = 128
-BAND = 32   # vertical source window per output row (multiple of 8)
-XWIN = 384  # horizontal source window per output slab (multiple of 128)
+# vertical source window per output row (multiple of 8). Every gather,
+# one-hot merge and band reduction in the kernels is O(BAND), so this is
+# the kernel's main work knob; the window start is aligned down to a
+# multiple of 8, so BAND=N guarantees N-9 rows of within-row source
+# spread headroom (the assumption tests pin the actual spread).
+# SFMNEXT_WARP_BAND for tuning sweeps.
+BAND = int(os.environ.get("SFMNEXT_WARP_BAND", "32"))
+# horizontal source window per output slab. Must stay >=384: window
+# starts are lane-aligned ((s-1)*128), so 384 is the smallest width that
+# guarantees symmetric +-128 px coverage for every lane of the slab.
+XWIN = 384
 # rows per grid step (unroll factor; SFMNEXT_WARP_ROWS for tuning sweeps)
 ROWS = int(os.environ.get("SFMNEXT_WARP_ROWS", "8"))
 
