@@ -187,8 +187,9 @@ class NFNet(nn.Module):
                     beta = math.sqrt(expected_var)
                     y = NFBlock(
                         ch, 2 if (transition and si > 0) else 1, beta,
-                        alpha, 0, False, "none", "relu", 0.25,
-                        self.train, self.dtype, name=f"s{si}_b{bi}",
+                        alpha, 0, False, "none", "relu", 0.25, reg=False,
+                        train=self.train, dtype=self.dtype,
+                        name=f"s{si}_b{bi}",
                     )(y)
                     expected_var = (
                         1.0 if transition else expected_var
@@ -213,8 +214,9 @@ class NFNet(nn.Module):
                     beta = math.sqrt(expected_var)
                     y = NFBlock(
                         ch, 2 if transition else 1, beta, alpha, 8,
-                        False, "se0.5", "silu", 2.25, True,
-                        self.train, self.dtype, name=f"s{si}_b{bi}",
+                        False, "se0.5", "silu", 2.25, reg=True,
+                        train=self.train, dtype=self.dtype,
+                        name=f"s{si}_b{bi}",
                     )(y)
                     expected_var = (
                         1.0 if transition else expected_var
@@ -242,9 +244,13 @@ class NFNet(nn.Module):
             for bi in range(n):
                 transition = bi == 0
                 beta = math.sqrt(expected_var)
+                # NOTE keywords from here: a positional self.train once
+                # landed in ``reg`` and silently built NF-RegNet topology
+                # (SE-on-mid, mid from in_chs) for every train-mode build
                 y = NFBlock(
                     ch, 2 if (transition and si > 0) else 1, beta, alpha,
-                    gw, dbl, attn, actk, 0.5, self.train, self.dtype,
+                    gw, dbl, attn, actk, 0.5, reg=False,
+                    train=self.train, dtype=self.dtype,
                     name=f"s{si}_b{bi}",
                 )(y)
                 expected_var = (
