@@ -82,6 +82,9 @@ def main():
         height=height,
         width=width,
         batch_size=batch_size,
+        # BENCH_REMAT=1: rematerialize the encoder (needed for bs32 at
+        # 320x1024 on a 16G v5e; trades ~encoder-fwd FLOPs for memory)
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     ).validate()
 
     models = build_models(opt, train=True)

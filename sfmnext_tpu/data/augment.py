@@ -126,13 +126,33 @@ def color_jitter_single(img, rng):
     return img
 
 
-def augment_batch(batch, rng, allow_flip: bool = True):
+def jitter_params(key):
+    """Factor/order draws of ``color_jitter_single`` for one sample.
+
+    Split out so the fused Pallas jitter kernel consumes the EXACT same
+    per-sample randomness as the vmapped XLA path (same key tree, same
+    draw order) — swapping paths never changes the augmentation stream.
+    """
+    k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    fb = jax.random.uniform(k_b, (), minval=0.8, maxval=1.2)
+    fc = jax.random.uniform(k_c, (), minval=0.8, maxval=1.2)
+    fs = jax.random.uniform(k_s, (), minval=0.8, maxval=1.2)
+    fh = jax.random.uniform(k_h, (), minval=-0.1, maxval=0.1)
+    order = jax.random.permutation(k_perm, 4)
+    return order, jnp.stack([fb, fc, fs, fh])
+
+
+def augment_batch(batch, rng, allow_flip: bool = True,
+                  use_pallas: bool = False):
     """Apply per-sample flip (50%) and color jitter (50%) on device.
 
     Args:
       batch: dict with 'color' [B,F,H,W,3] (in [0,1]); optional 'stereo_T',
         'depth_gt'. 'color_aug' is produced here.
       rng: PRNG key.
+      use_pallas: ride the fused ColorJitter kernel on TPU
+        (ops/pallas/jitter_kernel.py) — one HBM read+write instead of the
+        ~16 materialized passes of the vmapped 4-branch switch chain.
     Returns:
       new batch dict with augmented 'color'/'color_aug' (+ flipped
       stereo_T / depth_gt when present).
@@ -149,11 +169,22 @@ def augment_batch(batch, rng, allow_flip: bool = True):
         do_flip[:, None, None, None, None], color[:, :, :, ::-1, :], color
     )
 
-    def jit_one(img_stack, key, enable):
-        out = color_jitter_single(img_stack, key)
-        return jnp.where(enable, out, img_stack)
+    use_kernel = use_pallas and jax.default_backend() == "tpu"
+    if use_kernel:
+        from sfmnext_tpu.ops.pallas import jitter_kernel
 
-    color_aug = jax.vmap(jit_one)(flipped, jit_keys, do_jit)
+        use_kernel = jitter_kernel.supports(*color.shape[2:4])
+    if use_kernel:
+        order, factors = jax.vmap(jitter_params)(jit_keys)
+        color_aug = jitter_kernel.color_jitter_pallas(
+            flipped, order, factors, do_jit
+        )
+    else:
+        def jit_one(img_stack, key, enable):
+            out = color_jitter_single(img_stack, key)
+            return jnp.where(enable, out, img_stack)
+
+        color_aug = jax.vmap(jit_one)(flipped, jit_keys, do_jit)
 
     out = dict(batch)
     out["color"] = flipped

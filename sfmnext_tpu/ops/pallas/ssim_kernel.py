@@ -32,6 +32,7 @@ tests/test_ssim_kernel.py (interpret mode vs the XLA path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +58,100 @@ def _mm(a, b):
     )
 
 
-def _box1(x2d, my, mx):
+def _box1_mm(x2d, my, mx):
     """Box *sum* of one [H, W] plane: (my @ X) @ mx. Returns f32."""
     return _mm(_bf16(_mm(my, x2d)), mx)
+
+
+# --- VPU shift-add reflect box filter (measured SLOWER; A/B knob) ---------
+# Hypothesis: the [H,H]/[W,W] band matrices burn ~880 MFLOP of MXU per
+# plane for what is a 7-tap running sum; as shifted adds the filter is
+# ~40 VPU passes over a VMEM-resident plane. Measured (v5e, bs8 320x1024,
+# tools/micro_bench.py reproj_kernel): shift LOSES — fwd+bwd 5.98 vs
+# 5.15 ms, min-fused 7.36 vs 6.26 ms. The grid pipeline hides the MXU
+# matmul latency, while the 14 concat-shifted VPU passes serialize.
+# Kept behind SFMNEXT_SSIM_BOX=shift as a documented negative result.
+_BOX_MODE = os.environ.get("SFMNEXT_SSIM_BOX", "matmul")
+_R = _K // 2  # 3
+
+
+def _shift(x, d, axis):
+    """Zero-padded shift: out[i] = x[i+d] (static d)."""
+    if d == 0:
+        return x
+    h, w = x.shape
+    if axis == 0:
+        z = jnp.zeros((abs(d), w), x.dtype)
+        return (
+            jnp.concatenate([x[d:], z], 0)
+            if d > 0
+            else jnp.concatenate([z, x[:d]], 0)
+        )
+    z = jnp.zeros((h, abs(d)), x.dtype)
+    return (
+        jnp.concatenate([x[:, d:], z], 1)
+        if d > 0
+        else jnp.concatenate([z, x[:, :d]], 1)
+    )
+
+
+def _axis_box_reflect(x, axis):
+    """7-tap reflect box sum along one axis (shift-add, f32).
+
+    Interior rows are the plain zero-padded 7-tap sum; the 3 edge rows on
+    each side add the reflected taps (torch reflect: -j -> j,
+    n-1+j -> n-1-j) via row-masked shifted planes.
+    """
+    n = x.shape[axis]
+    s = {d: _shift(x, d, axis) for d in range(-_R, _R + 1)}
+    c = s[-3] + s[-2] + s[-1] + s[0] + s[1] + s[2] + s[3]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    z = jnp.float32(0.0)
+    c = c + jnp.where(iota == 0, s[1] + s[2] + s[3], z)
+    c = c + jnp.where(iota == 1, s[0] + s[1], z)
+    c = c + jnp.where(iota == 2, s[-1], z)
+    c = c + jnp.where(iota == n - 1, s[-1] + s[-2] + s[-3], z)
+    c = c + jnp.where(iota == n - 2, s[0] + s[-1], z)
+    c = c + jnp.where(iota == n - 3, s[1], z)
+    return c
+
+
+def _axis_box_reflect_t(g, axis):
+    """Adjoint of _axis_box_reflect (edge taps scatter back)."""
+    n = g.shape[axis]
+    s = {d: _shift(g, d, axis) for d in range(-_R, _R + 1)}
+    c = s[-3] + s[-2] + s[-1] + s[0] + s[1] + s[2] + s[3]
+    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, axis)
+    z = jnp.float32(0.0)
+    m0 = jnp.where(iota == 0, g, z)
+    m1 = jnp.where(iota == 1, g, z)
+    m2 = jnp.where(iota == 2, g, z)
+    mn1 = jnp.where(iota == n - 1, g, z)
+    mn2 = jnp.where(iota == n - 2, g, z)
+    mn3 = jnp.where(iota == n - 3, g, z)
+    c = c + _shift(m0, -1, axis) + _shift(m0, -2, axis) + _shift(m0, -3, axis)
+    c = c + m1 + _shift(m1, -1, axis)
+    c = c + _shift(m2, 1, axis)
+    c = c + _shift(mn1, 1, axis) + _shift(mn1, 2, axis) + _shift(mn1, 3, axis)
+    c = c + mn2 + _shift(mn2, 1, axis)
+    c = c + _shift(mn3, -1, axis)
+    return c
+
+
+def _box1(x2d, my, mx):
+    """Reflect box sum; forward orientation. f32 out."""
+    if _BOX_MODE == "matmul":
+        return _box1_mm(x2d, my, mx)
+    xf = x2d.astype(jnp.float32)
+    return _axis_box_reflect(_axis_box_reflect(xf, 0), 1)
+
+
+def _box1_t(g2d, myt, mxt):
+    """Adjoint reflect box sum (the B^T of the backward pass)."""
+    if _BOX_MODE == "matmul":
+        return _box1_mm(g2d, myt, mxt)
+    gf = g2d.astype(jnp.float32)
+    return _axis_box_reflect_t(_axis_box_reflect_t(gf, 1), 0)
 
 
 def _chan_stats(p_ch, t_ch, my, mx):
@@ -180,9 +272,9 @@ def _bwd_kernel(p_ref, t_ref, mup_ref, sp_ref, spt_ref, mut_ref, st_ref,
     myt = myt_ref[...]
     mxt = mxt_ref[...]
     gmu_tot = gmu - two * mu_p * gsp - mu_t * gspt
-    dp = dp + _box1(gmu_tot, myt, mxt) * inv_k2
-    dp = dp + 2.0 * pf * (_box1(gsp, myt, mxt) * inv_k2)
-    dp = dp + tf * (_box1(gspt, myt, mxt) * inv_k2)
+    dp = dp + _box1_t(gmu_tot, myt, mxt) * inv_k2
+    dp = dp + 2.0 * pf * (_box1_t(gsp, myt, mxt) * inv_k2)
+    dp = dp + tf * (_box1_t(gspt, myt, mxt) * inv_k2)
     dp_ref[0, 0, 0] = dp.astype(dp_ref.dtype)
 
 
@@ -344,6 +436,178 @@ def reprojection_losses_pallas(preds, target, ssim_weight: float = 0.85,
             jax.lax.stop_gradient(p_t), t_t, my, mx, float(ssim_weight)
         )
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _ident_min_kernel(p_ref, t_ref, noise_ref, r_ref, my_ref, mx_ref,
+                      min_ref, arg_ref, acc_ref, *, ct, weight, n_grad):
+    # grid (B, n_ident, ct): the identity (automask) stack computed
+    # residual-free, fused with the min-combine. Per-source loss
+    # accumulates channel-by-channel into a VMEM scratch; at the last
+    # channel the (noisy) map folds into the running min/argmin blocks
+    # (revisited across (si, ci) — contiguous per bi). The first source
+    # also folds in the grad-kernel's reprojection maps (r_ref), so the
+    # XLA min/argmin/noise passes disappear.
+    si = pl.program_id(1)
+    ci = pl.program_id(2)
+
+    @pl.when(ci == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    pf, tf, mu_p, sp, spt, mu_t, st = _chan_stats(
+        p_ref[0, 0, 0], t_ref[0, 0], my_ref[...], mx_ref[...]
+    )
+    _, _, s_clip, _ = _ssim_terms(mu_p, sp, spt, mu_t, st)
+    acc_ref[...] += (
+        weight * s_clip + (1.0 - weight) * jnp.abs(tf - pf)
+    ) * (1.0 / ct)
+
+    @pl.when(ci == ct - 1)
+    def _():
+        cur = acc_ref[...] + noise_ref[0, 0]
+
+        @pl.when(si == 0)
+        def _():
+            # fold the reprojection maps first (arg ids 0..n_grad-1,
+            # first-wins on ties like the reference argmin), then this
+            # identity map (identity takes ties — reference order is
+            # [ident..., reproj...] with first-wins, trainer.py:509-530)
+            rmin = r_ref[0, 0]
+            rarg = jnp.zeros(rmin.shape, jnp.int32)
+            for k in range(1, n_grad):
+                rk = r_ref[0, k]
+                bk = rk < rmin
+                rarg = jnp.where(bk, k, rarg)
+                rmin = jnp.where(bk, rk, rmin)
+            bi_ = cur <= rmin
+            min_ref[0] = jnp.where(bi_, cur, rmin)
+            arg_ref[0] = jnp.where(bi_, n_grad, rarg)
+
+        @pl.when(si > 0)
+        def _():
+            prev = min_ref[0]
+            bk = cur <= prev
+            min_ref[0] = jnp.where(bk, cur, prev)
+            arg_ref[0] = jnp.where(bk, n_grad + si, arg_ref[0])
+
+
+def _call_ident_min(ident_t, t_t, noise, rmaps, my, mx, weight, n_grad):
+    b, n_ident, ct, h, w = ident_t.shape
+    kern = functools.partial(
+        _ident_min_kernel, ct=ct, weight=weight, n_grad=n_grad
+    )
+    plane = pl.BlockSpec(
+        (1, 1, 1, h, w), lambda bi, si, ci: (bi, si, ci, 0, 0)
+    )
+    whole = pl.BlockSpec((1, h, w), lambda bi, si, ci: (bi, 0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(b, n_ident, ct),
+        in_specs=[
+            plane,
+            pl.BlockSpec((1, 1, h, w), lambda bi, si, ci: (bi, ci, 0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda bi, si, ci: (0, si, 0, 0)),
+            pl.BlockSpec(
+                (1, n_grad, h, w), lambda bi, si, ci: (bi, 0, 0, 0)
+            ),
+            pl.BlockSpec((h, h), lambda bi, si, ci: (0, 0)),
+            pl.BlockSpec((w, w), lambda bi, si, ci: (0, 0)),
+        ],
+        out_specs=[whole, whole],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
+        compiler_params=_params(),
+    )(ident_t, t_t, noise, rmaps, my, mx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _reproj_min(pg_t, ident_t, t_t, noise, mats, matst,
+                weight: float, n_grad: int):
+    my, mx = mats
+    r, *_ = _call_fwd(pg_t, t_t, my, mx, weight)
+    return _call_ident_min(ident_t, t_t, noise, r, my, mx, weight, n_grad)
+
+
+def _min_vjp_fwd(pg_t, ident_t, t_t, noise, mats, matst, weight, n_grad):
+    my, mx = mats
+    r, *stats = _call_fwd(pg_t, t_t, my, mx, weight)
+    mn, arg = _call_ident_min(
+        ident_t, t_t, noise, r, my, mx, weight, n_grad
+    )
+    return (mn, arg), (pg_t, ident_t, t_t, tuple(stats), matst, arg)
+
+
+def _min_vjp_bwd(weight, n_grad, res, gs):
+    pg_t, ident_t, t_t, stats, (myt, mxt), arg = res
+    g, _ = gs  # arg is an integer output — no cotangent
+    # route the min's cotangent to the winning grad source (one cheap XLA
+    # masked broadcast), then reuse the per-source bwd kernel; identity
+    # winners route nowhere (their sources are stop-gradient data)
+    g_src = g[:, None] * (
+        arg[:, None] == jnp.arange(n_grad, dtype=jnp.int32)[None, :, None, None]
+    ).astype(g.dtype)  # [B, n_grad, H, W]
+    dp = _call_bwd(pg_t, t_t, stats, myt, mxt, g_src, weight)
+    return (
+        dp, jnp.zeros_like(ident_t), jnp.zeros_like(t_t), None, None, None
+    )
+
+
+_reproj_min.defvjp(_min_vjp_fwd, _min_vjp_bwd)
+
+
+def reprojection_min_pallas(preds, idents, target, noise,
+                            ssim_weight: float = 0.85):
+    """Fused reprojection + identity SSIM stacks + min-combine + automask.
+
+    One kernel computes all per-source SSIM+L1 loss maps and folds them
+    into a running per-pixel min in VMEM — the per-source [B,H,W,F] maps,
+    the identity stack's separate kernel launch, and the XLA min/argmin
+    pass never touch HBM. Semantics match ops.losses.min_reprojection_loss
+    over concat([idents, preds]) with tie-break noise on the identity maps
+    (reference trainer.py:509-530).
+
+    Args:
+      preds: list of N [B,H,W,3] warped predictions (gradients flow).
+      idents: list of M [B,H,W,3] unwarped source frames (data).
+      target: [B,H,W,3] (data).
+      noise: [1,H,W,M] identity tie-break noise (or None).
+    Returns:
+      (to_optimise [B,H,W] f32, automask [B,H,W] f32 — 1 where a
+      reprojection won).
+    """
+    n_grad = len(preds)
+    n_ident = len(idents)
+    stacked = jnp.concatenate(list(preds), axis=-1)
+    b, h, w, _ = stacked.shape
+    ct = target.shape[-1]
+    pg_t = jnp.transpose(_bf16(stacked), (0, 3, 1, 2)).reshape(
+        b, n_grad, ct, h, w
+    )
+    ident_t = jax.lax.stop_gradient(
+        jnp.transpose(
+            _bf16(jnp.concatenate(list(idents), axis=-1)), (0, 3, 1, 2)
+        ).reshape(b, n_ident, ct, h, w)
+    )
+    t_t = jnp.transpose(
+        _bf16(jax.lax.stop_gradient(target)), (0, 3, 1, 2)
+    )
+    if noise is None:
+        noise_t = jnp.zeros((1, n_ident, h, w), jnp.float32)
+    else:
+        noise_t = noise.astype(jnp.float32).transpose(0, 3, 1, 2)
+    my = jnp.asarray(_box_reflect_matrix(h, _K), jnp.bfloat16)
+    mx = jnp.asarray(_box_reflect_matrix(w, _K).T.copy(), jnp.bfloat16)
+    myt = jnp.asarray(_box_reflect_matrix(h, _K).T.copy(), jnp.bfloat16)
+    mxt = jnp.asarray(_box_reflect_matrix(w, _K), jnp.bfloat16)
+    mn, arg = _reproj_min(
+        pg_t, ident_t, t_t, jax.lax.stop_gradient(noise_t),
+        (my, mx), (myt, mxt), float(ssim_weight), n_grad
+    )
+    automask = (arg < n_grad).astype(jnp.float32)
+    return mn, automask
 
 
 def supports(h: int, w: int, n_src: int) -> bool:

@@ -313,6 +313,50 @@ def forward(
         from sfmnext_tpu.ops.pallas import ssim_kernel
 
         fused_ssim = ssim_kernel.supports(h, w, len(warped_srcs))
+    # Fully-fused combine: SSIM stacks + identity stacks + tie-break +
+    # per-pixel min + automask in ONE kernel (the per-source [B,H,W,F]
+    # maps never reach HBM; the separate identity launch and the XLA
+    # min/argmin pass disappear). Falls back to the two-stack path for
+    # the ablation flags that reshape the combine.
+    fused_min = (
+        fused_ssim
+        and not opt.disable_automasking
+        and not opt.avg_reprojection
+        and not need_pyramid
+    )
+    if fused_min:
+        noise = (
+            L._tiebreak_noise(
+                rng_noise, (1, h, w, len(ident_srcs)), jnp.float32
+            )
+            if (train and rng_noise is not None)
+            else None
+        )
+        to_optimise, automask = ssim_kernel.reprojection_min_pallas(
+            [w_.astype(ldt) for w_ in warped_srcs],
+            [s.astype(ldt) for s in ident_srcs],
+            target_l, noise, opt.ssim_weight,
+        )
+        outputs["automask"] = automask
+        loss = to_optimise.mean()
+
+        mean_d = depth.mean(axis=(1, 2, 3), keepdims=True)
+        norm_d = depth / (mean_d + 1e-7)
+        smooth = L.edge_aware_smoothness(
+            norm_d, target, compute_dtype=None if ldt == jnp.float32 else ldt
+        )
+        total = loss + opt.disparity_smoothness * smooth
+
+        metrics = {
+            "loss": total,
+            "loss/reprojection": loss,
+            "loss/smooth": smooth,
+        }
+        return total, {
+            "outputs": outputs,
+            "metrics": metrics,
+            "batch_stats": new_batch_stats,
+        }
     if fused_ssim:
         reproj = ssim_kernel.reprojection_losses_pallas(
             [w.astype(ldt) for w in warped_srcs], target_l, opt.ssim_weight

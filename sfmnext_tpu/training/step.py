@@ -120,7 +120,9 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         if augment:
             rng, k_aug = jax.random.split(rng)
-            batch = augment_batch(batch, k_aug, allow_flip=flip_ok)
+            batch = augment_batch(
+                batch, k_aug, allow_flip=flip_ok, use_pallas=opt.use_pallas
+            )
 
         def loss_fn(params):
             total, aux = forward_fn(

@@ -101,3 +101,93 @@ def test_supports_gate():
     assert ssim_kernel.supports(320, 1024, 2)
     assert not ssim_kernel.supports(321, 1024, 2)
     assert not ssim_kernel.supports(320, 1000, 2)
+
+
+def _xla_min(preds, idents, target, noise):
+    reproj = _xla(preds, target)
+    ident = _xla(idents, target)
+    if noise is not None:
+        ident = ident + noise
+    combined = jnp.concatenate([ident, reproj], axis=-1)
+    to_opt = combined.min(axis=-1)
+    idxs = combined.argmin(axis=-1)
+    automask = (idxs >= ident.shape[-1]).astype(jnp.float32)
+    return to_opt, automask
+
+
+def test_min_fused_forward_matches_xla():
+    preds, target = _data(7)
+    idents, _ = _data(8)
+    rngn = np.random.RandomState(9)
+    noise = jnp.asarray(rngn.randn(1, H, W, 2).astype(np.float32) * 1e-2)
+    expect, emask = _xla_min(preds, idents, target, noise)
+    with pltpu.force_tpu_interpret_mode():
+        got, gmask = ssim_kernel.reprojection_min_pallas(
+            preds, idents, target, noise
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-2)
+    # masks may differ only where the two best sources are within kernel
+    # tolerance of each other
+    diff = np.asarray(gmask) != np.asarray(emask)
+    assert diff.mean() < 0.02
+
+
+def test_min_fused_no_noise():
+    preds, target = _data(10)
+    idents, _ = _data(11)
+    expect, _ = _xla_min(preds, idents, target, None)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = ssim_kernel.reprojection_min_pallas(
+            preds, idents, target, None
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-2)
+
+
+def test_min_fused_grad_matches_xla():
+    preds, target = _data(12)
+    idents, _ = _data(13)
+    rngn = np.random.RandomState(14)
+    # large noise separates the min winners so both paths agree on routing
+    noise = jnp.asarray(rngn.randn(1, H, W, 2).astype(np.float32) * 0.3)
+
+    def loss_x(a, b):
+        to_opt, _ = _xla_min(
+            [a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)],
+            [i.astype(jnp.bfloat16) for i in idents],
+            target.astype(jnp.bfloat16), noise,
+        )
+        return (to_opt ** 2).mean()
+
+    def loss_p(a, b):
+        to_opt, _ = ssim_kernel.reprojection_min_pallas(
+            [a, b], idents, target, noise
+        )
+        return (to_opt ** 2).mean()
+
+    gx = jax.grad(loss_x, argnums=(0, 1))(*preds)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1))(*preds)
+    for a, e in zip(gp, gx):
+        scale = max(1e-4, float(jnp.abs(e).max()))
+        got_n = np.asarray(a) / scale
+        exp_n = np.asarray(e) / scale
+        # winners can flip where two sources are within bf16 tolerance;
+        # compare where both paths agree (>99% of pixels)
+        agree = np.isclose(got_n, exp_n, atol=5e-2)
+        assert agree.mean() > 0.97
+
+
+def test_min_fused_idents_and_target_zero_grad():
+    preds, target = _data(15)
+    idents, _ = _data(16)
+
+    def loss_p(i0, t):
+        to_opt, _ = ssim_kernel.reprojection_min_pallas(
+            preds, [i0, idents[1]], t, None
+        )
+        return to_opt.mean()
+
+    with pltpu.force_tpu_interpret_mode():
+        gi, gt = jax.grad(loss_p, argnums=(0, 1))(idents[0], target)
+    np.testing.assert_array_equal(np.asarray(gi), 0.0)
+    np.testing.assert_array_equal(np.asarray(gt), 0.0)

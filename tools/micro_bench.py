@@ -139,6 +139,44 @@ def main(ops):
 
         timeit("augment flip+jitter", aug, stack, key)
 
+        @jax.jit
+        def aug_pallas(c, k):
+            out = augment_batch({"color": c}, k, use_pallas=True)
+            return out["color_aug"].sum() + out["color"].sum()
+
+        timeit("augment flip+jitter pallas", aug_pallas, stack, key)
+
+    if "reproj_kernel" in ops:
+        # the fused Pallas reproj kernels (A/B SFMNEXT_SSIM_BOX=shift|matmul)
+        from sfmnext_tpu.ops.pallas import ssim_kernel
+
+        ib = img.astype(jnp.bfloat16)
+        i2b = img2.astype(jnp.bfloat16)
+        tb = (0.5 * (img + img2)).astype(jnp.bfloat16)
+
+        def k_loss(a, b):
+            return ssim_kernel.reprojection_losses_pallas([a, b], tb).sum()
+
+        g = jax.jit(lambda a, b: sum(
+            x.sum() for x in jax.grad(k_loss, argnums=(0, 1))(a, b)
+        ).astype(jnp.float32))
+        timeit("reproj kernel 2-src fwd+bwd", g, ib, i2b)
+
+        f = jax.jit(lambda a, b: ssim_kernel.reprojection_losses_pallas(
+            [a, b], tb, need_grad=False).sum())
+        timeit("reproj kernel 2-src fwd-only", f, ib, i2b)
+
+        def m_loss(a, b):
+            to_opt, _ = ssim_kernel.reprojection_min_pallas(
+                [a, b], [ib, i2b], tb, None
+            )
+            return to_opt.sum()
+
+        gm = jax.jit(lambda a, b: sum(
+            x.sum() for x in jax.grad(m_loss, argnums=(0, 1))(a, b)
+        ).astype(jnp.float32))
+        timeit("reproj min-fused 4-src fwd+bwd", gm, ib, i2b)
+
     if "pose" in ops:
         from sfmnext_tpu.models.pose_cnn import PoseCNN
 
