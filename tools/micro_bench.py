@@ -194,7 +194,7 @@ def main(ops):
         ))
         timeit("posecnn batched-pairs fwd+bwd", g, params)
 
-    if "encdec" in ops or "encdec_bwd" in ops:
+    if "encdec" in ops or "encdec_bwd" in ops or "sql" in ops:
         from sfmnext_tpu.config import Options
         from sfmnext_tpu.training.builder import build_models, init_params
 
@@ -220,6 +220,43 @@ def main(ops):
                 )["disp0"].sum()
 
             timeit("encoder+decoder fwd", ed, params, img)
+
+        if "sql" in ops:
+            # SQL decoder (DecoderBN + flash summary/bins + heads) alone,
+            # on precomputed encoder features
+            feats, _ = jax.jit(
+                lambda p, x: models.encoder.apply(
+                    {"params": p["encoder"], "batch_stats": stats["encoder"]},
+                    x, mutable=["batch_stats"],
+                )
+            )(params, img)
+            feats = jax.tree_util.tree_map(jnp.asarray, feats)
+
+            @jax.jit
+            def sq(p, f):
+                return models.depth.apply(
+                    {"params": p["depth"]}, f,
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )["disp0"].sum()
+
+            timeit("sql decoder fwd", sq, params, feats)
+
+            @jax.jit
+            def sqg(p, f):
+                def loss(p):
+                    return models.depth.apply(
+                        {"params": p}, f,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                    )["disp0"].sum()
+
+                return sum(
+                    g.sum()
+                    for g in jax.tree_util.tree_leaves(
+                        jax.grad(loss)(p["depth"])
+                    )
+                )
+
+            timeit("sql decoder fwd+bwd", sqg, params, feats)
 
         if "encdec_bwd" in ops:
             @jax.jit

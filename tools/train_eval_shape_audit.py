@@ -17,7 +17,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from sfmnext_tpu.models.unet_zoo import UNET_BACKBONES
+from sfmnext_tpu.models.unet_zoo import __available_models__ as UNET_BACKBONES
 from sfmnext_tpu.config import Options
 from sfmnext_tpu.training.builder import build_models, init_params
 
