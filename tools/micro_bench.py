@@ -411,31 +411,69 @@ def _decoder_bn_bench(feats):
 
 
 def _sql_bench(rng):
-    from sfmnext_tpu.models.sql_decoder import SQLDecoder
+    from sfmnext_tpu.models.sql_decoder import (
+        SQLDecoder,
+        TransformerEncoderLayer,
+    )
 
     x = jnp.asarray(
         rng.rand(BS, H // 2, W // 2, 32).astype(np.float32)
     ).astype(jnp.bfloat16)
-    sql = SQLDecoder(
-        embedding_dim=32, patch_size=20, query_nums=128, dim_out=128,
-        deterministic=False, dtype=jnp.bfloat16,
-    )
-    sv = sql.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        x,
-    )
-
-    def sloss(p, x):
-        out = sql.apply(
-            {"params": p}, x, rngs={"dropout": jax.random.PRNGKey(0)}
+    for use_pallas in (False, True):
+        sql = SQLDecoder(
+            embedding_dim=32, patch_size=20, query_nums=128, dim_out=128,
+            deterministic=False, dtype=jnp.bfloat16, use_pallas=use_pallas,
         )
-        return out["disp0"].astype(jnp.float32).sum()
+        sv = sql.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x,
+        )
+        tag = "pallas" if use_pallas else "xla"
 
-    timeit("sql decoder fwd", jax.jit(sloss), sv["params"], x)
-    g2 = jax.jit(lambda p, x: sum(
-        q.sum() for q in jax.tree_util.tree_leaves(jax.grad(sloss)(p, x))
+        def sloss(p, x):
+            out = sql.apply(
+                {"params": p}, x, rngs={"dropout": jax.random.PRNGKey(0)}
+            )
+            return out["disp0"].astype(jnp.float32).sum()
+
+        timeit(f"sql decoder fwd ({tag})", jax.jit(sloss), sv["params"], x)
+        g2 = jax.jit(lambda p, x: sum(
+            q.sum() for q in jax.tree_util.tree_leaves(jax.grad(sloss)(p, x))
+        ).astype(jnp.float32))
+        timeit(f"sql decoder fwd+bwd ({tag})", g2, sv["params"], x)
+
+    # transformer stack alone ([B,400,32] tokens, 4 layers)
+    tokens = jnp.asarray(
+        rng.rand(BS, 400, 32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    class TF4(__import__("flax").linen.Module):
+        @__import__("flax").linen.compact
+        def __call__(self, y):
+            for i in range(4):
+                y = TransformerEncoderLayer(
+                    32, 4, 1024, deterministic=False, dtype=jnp.bfloat16,
+                    name=f"tf_layer{i}",
+                )(y)
+            return y
+
+    tf4 = TF4()
+    tv = tf4.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tokens,
+    )
+
+    def tloss(p, t):
+        return tf4.apply(
+            {"params": p}, t, rngs={"dropout": jax.random.PRNGKey(0)}
+        ).astype(jnp.float32).sum()
+
+    timeit("tf4 stack fwd", jax.jit(tloss), tv["params"], tokens)
+    gt = jax.jit(lambda p, t: sum(
+        q.sum() for q in jax.tree_util.tree_leaves(jax.grad(tloss)(p, t))
     ).astype(jnp.float32))
-    timeit("sql decoder fwd+bwd", g2, sv["params"], x)
+    timeit("tf4 stack fwd+bwd", gt, tv["params"], tokens)
 
 
 def sql_parts():
