@@ -174,10 +174,15 @@ def augment_batch(batch, rng, allow_flip: bool = True,
         from sfmnext_tpu.ops.pallas import jitter_kernel
 
         use_kernel = jitter_kernel.supports(*color.shape[2:4])
+    color_cf = None
     if use_kernel:
         order, factors = jax.vmap(jitter_params)(jit_keys)
-        color_aug = jitter_kernel.color_jitter_pallas(
-            flipped, order, factors, do_jit
+        # the kernel consumes channel-first planes; keep that transpose
+        # around as color_cf — the fused loss path samples/compares in
+        # channel planes and would otherwise re-transpose every frame
+        color_cf = jnp.transpose(flipped, (0, 1, 4, 2, 3))
+        color_aug = jitter_kernel.color_jitter_pallas_cf(
+            color_cf, order, factors, do_jit
         )
     else:
         def jit_one(img_stack, key, enable):
@@ -189,6 +194,8 @@ def augment_batch(batch, rng, allow_flip: bool = True,
     out = dict(batch)
     out["color"] = flipped
     out["color_aug"] = color_aug
+    if color_cf is not None:
+        out["color_cf"] = color_cf
     if "depth_gt" in batch:
         out["depth_gt"] = jnp.where(
             do_flip[:, None, None, None],

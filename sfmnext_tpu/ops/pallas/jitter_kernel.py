@@ -158,8 +158,16 @@ def color_jitter_pallas(color, order, factors, do_jit):
     Returns:
       [B, F, H, W, 3] f32 jittered stack.
     """
-    b, f, h, w, _ = color.shape
     img = jnp.transpose(color, (0, 1, 4, 2, 3))  # [B,F,3,H,W]
+    return color_jitter_pallas_cf(img, order, factors, do_jit)
+
+
+def color_jitter_pallas_cf(img, order, factors, do_jit):
+    """Same as :func:`color_jitter_pallas` but takes the channel-first
+    stack [B,F,3,H,W] directly — augment_batch reuses this transpose as
+    the ``color_cf`` planes the fused loss path consumes, so the layout
+    conversion happens exactly once per step."""
+    b, f, _, h, w = img.shape
     ops = jnp.concatenate(
         [order.astype(jnp.int32), do_jit.astype(jnp.int32)[:, None]], axis=1
     )

@@ -559,7 +559,8 @@ _reproj_min.defvjp(_min_vjp_fwd, _min_vjp_bwd)
 
 
 def reprojection_min_pallas(preds, idents, target, noise,
-                            ssim_weight: float = 0.85):
+                            ssim_weight: float = 0.85,
+                            channel_first: bool = False):
     """Fused reprojection + identity SSIM stacks + min-combine + automask.
 
     One kernel computes all per-source SSIM+L1 loss maps and folds them
@@ -580,20 +581,31 @@ def reprojection_min_pallas(preds, idents, target, noise,
     """
     n_grad = len(preds)
     n_ident = len(idents)
-    stacked = jnp.concatenate(list(preds), axis=-1)
-    b, h, w, _ = stacked.shape
-    ct = target.shape[-1]
-    pg_t = jnp.transpose(_bf16(stacked), (0, 3, 1, 2)).reshape(
-        b, n_grad, ct, h, w
-    )
-    ident_t = jax.lax.stop_gradient(
-        jnp.transpose(
-            _bf16(jnp.concatenate(list(idents), axis=-1)), (0, 3, 1, 2)
-        ).reshape(b, n_ident, ct, h, w)
-    )
-    t_t = jnp.transpose(
-        _bf16(jax.lax.stop_gradient(target)), (0, 3, 1, 2)
-    )
+    if channel_first:
+        # preds/idents/target arrive as [B,3,H,W] planes (the fused loss
+        # path: the warp kernel emits channel-first, so no layout
+        # transposes appear anywhere between the warp and this kernel)
+        b, ct, h, w = target.shape
+        pg_t = jnp.stack([_bf16(p) for p in preds], axis=1)
+        ident_t = jax.lax.stop_gradient(
+            jnp.stack([_bf16(s) for s in idents], axis=1)
+        )
+        t_t = _bf16(jax.lax.stop_gradient(target))
+    else:
+        stacked = jnp.concatenate(list(preds), axis=-1)
+        b, h, w, _ = stacked.shape
+        ct = target.shape[-1]
+        pg_t = jnp.transpose(_bf16(stacked), (0, 3, 1, 2)).reshape(
+            b, n_grad, ct, h, w
+        )
+        ident_t = jax.lax.stop_gradient(
+            jnp.transpose(
+                _bf16(jnp.concatenate(list(idents), axis=-1)), (0, 3, 1, 2)
+            ).reshape(b, n_ident, ct, h, w)
+        )
+        t_t = jnp.transpose(
+            _bf16(jax.lax.stop_gradient(target)), (0, 3, 1, 2)
+        )
     if noise is None:
         noise_t = jnp.zeros((1, n_ident, h, w), jnp.float32)
     else:

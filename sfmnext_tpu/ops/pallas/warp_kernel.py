@@ -355,9 +355,15 @@ def _call_bwd_img(fy, fx, g, img_shape, img_dtype, rows_per_step: int,
     return jnp.transpose(dimg_t, (0, 2, 3, 1))
 
 
-def _call_fwd(img, fy, fx, rows_per_step: int, zeros: bool = False):
-    b, h, w, c = img.shape
-    img_t = jnp.transpose(img, (0, 3, 1, 2))  # [B,C,H,W]: lanes = W
+def _call_fwd(img, fy, fx, rows_per_step: int, zeros: bool = False,
+              img_nchw: bool = False, out_nchw: bool = False):
+    if img_nchw:
+        bt, c, h, w = img.shape
+        b = bt
+        img_t = img
+    else:
+        b, h, w, c = img.shape
+        img_t = jnp.transpose(img, (0, 3, 1, 2))  # [B,C,H,W]: lanes = W
     grid = (b, fy.shape[1] // rows_per_step)
     kern = functools.partial(
         _fwd_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
@@ -381,17 +387,24 @@ def _call_fwd(img, fy, fx, rows_per_step: int, zeros: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, fy.shape[1], w), img.dtype),
     )(yb, img_t, fy, fx)
+    if out_nchw:
+        return out_t
     return jnp.transpose(out_t, (0, 2, 3, 1))
 
 
-def _call_bwd_coords(img, fy, fx, g, rows_per_step: int, zeros: bool):
-    b, h, w, c = img.shape
+def _call_bwd_coords(img, fy, fx, g, rows_per_step: int, zeros: bool,
+                     nchw: bool = False):
+    if nchw:
+        b, c, h, w = img.shape
+        img_t, g_t = img, g
+    else:
+        b, h, w, c = img.shape
+        img_t = jnp.transpose(img, (0, 3, 1, 2))
+        g_t = jnp.transpose(g, (0, 3, 1, 2))
     grid = (b, fy.shape[1] // rows_per_step)
     kern = functools.partial(
         _bwd_kernel, rows=rows_per_step, h=h, w=w, c=c, zeros=zeros
     )
-    img_t = jnp.transpose(img, (0, 3, 1, 2))
-    g_t = jnp.transpose(g, (0, 3, 1, 2))
     yb = _y_bases(fy, h, min(BAND, h), zeros)
     return pl.pallas_call(
         kern,
@@ -421,21 +434,33 @@ def _call_bwd_coords(img, fy, fx, g, rows_per_step: int, zeros: bool):
     )(yb, img_t, fy, fx, g_t)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def warp_border_pallas(img, fy, fx, rows_per_step: int = 8):
-    """Bilinear border-mode sample of img [B,H,W,C] at pixel coords
-    fy/fx [B,Ho,W] (unnormalized). Coordinates get gradients; img doesn't
-    (outdoor SSL path: the source image is training data)."""
-    return _call_fwd(img, fy, fx, rows_per_step)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def warp_border_pallas(img, fy, fx, rows_per_step: int = 8,
+                       nchw: bool = False):
+    """Bilinear border-mode sample of img at pixel coords fy/fx [B,Ho,W]
+    (unnormalized). Coordinates get gradients; img doesn't (outdoor SSL
+    path: the source image is training data).
+
+    nchw=False: img [B,H,W,C] -> out [B,Ho,W,C] (layout transposes inside).
+    nchw=True: img [B,C,H,W] -> out [B,C,Ho,W] and the output cotangent is
+    consumed channel-first too — the fused loss path keeps every tensor in
+    channel planes so NO transposes appear between the warp and the
+    reprojection kernels."""
+    return _call_fwd(img, fy, fx, rows_per_step, img_nchw=nchw,
+                     out_nchw=nchw)
 
 
-def _vjp_fwd(img, fy, fx, rows_per_step):
-    return _call_fwd(img, fy, fx, rows_per_step), (img, fy, fx)
+def _vjp_fwd(img, fy, fx, rows_per_step, nchw):
+    out = _call_fwd(img, fy, fx, rows_per_step, img_nchw=nchw,
+                    out_nchw=nchw)
+    return out, (img, fy, fx)
 
 
-def _vjp_bwd(rows_per_step, res, g):
+def _vjp_bwd(rows_per_step, nchw, res, g):
     img, fy, fx = res
-    dfy, dfx = _call_bwd_coords(img, fy, fx, g, rows_per_step, zeros=False)
+    dfy, dfx = _call_bwd_coords(
+        img, fy, fx, g, rows_per_step, zeros=False, nchw=nchw
+    )
     return jnp.zeros_like(img), dfy, dfx
 
 
@@ -473,7 +498,7 @@ warp_sample_pallas.defvjp(_vjp_full_fwd, _vjp_full_bwd)
 
 def grid_sample_pallas(img, grid_norm, align_corners: bool = True,
                        padding_mode: str = "border",
-                       image_grad: bool = False):
+                       image_grad: bool = False, nchw: bool = False):
     """Drop-in for ops.warp.grid_sample on TPU (border or zeros padding).
 
     grid_norm: [B,Ho,Wo,2] normalized (x,y) in [-1,1]; Wo must be a
@@ -481,7 +506,7 @@ def grid_sample_pallas(img, grid_norm, align_corners: bool = True,
     zeros padding) the full-gradient kernel is used; otherwise the
     cheaper coords-only VJP (the image cotangent is dropped).
     """
-    b, h, w, c = img.shape
+    h, w = (img.shape[2], img.shape[3]) if nchw else (img.shape[1], img.shape[2])
     gx = grid_norm[..., 0]
     gy = grid_norm[..., 1]
     if align_corners:
@@ -492,5 +517,6 @@ def grid_sample_pallas(img, grid_norm, align_corners: bool = True,
         fy = ((gy + 1.0) * h - 1.0) * 0.5
     zeros = padding_mode == "zeros"
     if image_grad or zeros:
+        assert not nchw, "nchw layout is only plumbed for the border path"
         return warp_sample_pallas(img, fy, fx, zeros, ROWS)
-    return warp_border_pallas(img, fy, fx, ROWS)
+    return warp_border_pallas(img, fy, fx, ROWS, nchw)

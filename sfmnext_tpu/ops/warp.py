@@ -143,7 +143,7 @@ def grid_sample(img, grid, padding_mode: str = "border", align_corners: bool = T
 
 
 def warp_frame(src_img, depth, inv_K, K, T, padding_mode: str = "border",
-               use_pallas: bool = False):
+               use_pallas: bool = False, nchw: bool = False):
     """Backproject target depth, transform by T, project, and sample src.
 
     The main-path view-synthesis warp (trainer.py:423-435):
@@ -160,17 +160,23 @@ def warp_frame(src_img, depth, inv_K, K, T, padding_mode: str = "border",
     Returns:
       (warped [B,H,W,C], pix_coords [B,H,W,2]).
     """
-    b, h, w, _ = src_img.shape
+    b, h, w, _ = depth.shape
     cam_points = geometry.backproject_depth(depth, inv_K)
     pix_coords = geometry.project_3d(cam_points, K, T, h, w)
     if use_pallas and padding_mode == "border" and w % 128 == 0 and h % 8 == 0:
         from sfmnext_tpu.ops.pallas.warp_kernel import grid_sample_pallas
 
-        warped = grid_sample_pallas(src_img, pix_coords, align_corners=True)
+        warped = grid_sample_pallas(
+            src_img, pix_coords, align_corners=True, nchw=nchw
+        )
     else:
+        if nchw:  # XLA fallback samples NHWC; keep the contract
+            src_img = jnp.transpose(src_img, (0, 2, 3, 1))
         warped = grid_sample(
             src_img, pix_coords, padding_mode=padding_mode, align_corners=True
         )
+        if nchw:
+            warped = jnp.transpose(warped, (0, 3, 1, 2))
     return warped, pix_coords
 
 

@@ -270,49 +270,17 @@ def forward(
         opt.compute_dtype if opt.loss_dtype == "auto" else opt.loss_dtype
     )
     ldt = jnp.bfloat16 if loss_dtype == "bfloat16" else jnp.float32
-    warped_srcs, ident_srcs = [], []
-    for idx, f_i in enumerate(frame_ids[1:], start=1):
-        if f_i == "s":
-            T = batch["stereo_T"]
-        else:
-            aa, t, inv = poses[f_i]
-            if opt.pose_model_type == "posecnn" and not opt.use_stereo:
-                t = t * mean_inv_depth[:, None]
-            T = geometry.transformation_from_parameters(aa, t, invert=inv)
-
-        src = batch["color"][:, idx]
-        # Pallas banded warp on the training path (device=TPU, shapes
-        # aligned); XLA gather elsewhere (exact reference semantics)
-        use_pallas = (
-            opt.use_pallas
-            and train
-            and jax.default_backend() == "tpu"
-        )
-        # NOTE: the warp samples in f32 even under bf16 loss_dtype — Mosaic's
-        # dynamic_gather requires index/result bitwidth match (i32 lanes), so
-        # a bf16 image window cannot be lane-gathered on this toolchain.
-        warped, pix = warp_frame(src, depth, inv_K, K, T, use_pallas=use_pallas)
-        outputs[f"warped_{f_i}"] = warped
-        warped_srcs.append(warped)
-        ident_srcs.append(src)
-
-    # one channel-stacked SSIM pass per group with shared target statistics
-    # (the hot loss path); the identity group is param-independent, so its
-    # separate stack keeps its conv backward out of the graph entirely.
-    # Under bf16 compute the stack inputs are bf16 (halved HBM traffic,
-    # native-bf16 pooling matmuls); all pooled statistics and the output
-    # maps stay f32 (box_filter_reflect accumulates f32).
+    # Pallas banded warp on the training path (device=TPU, shapes
+    # aligned); XLA gather elsewhere (exact reference semantics)
+    use_pallas_warp = (
+        opt.use_pallas and train and jax.default_backend() == "tpu"
+    )
     use_ssim = not opt.no_ssim
-    target_l = target.astype(ldt)
-    # Fused Pallas SSIM+L1 on the TPU hot path: one whole-image VMEM pass
-    # per batch element instead of ~10 pooled [B,H,W,3N] HBM round trips
-    # (ops/pallas/ssim_kernel.py; the target is data here, its cotangent
-    # is structurally zero). XLA path everywhere else.
     fused_ssim = False
     if use_ssim and opt.use_pallas and jax.default_backend() == "tpu":
         from sfmnext_tpu.ops.pallas import ssim_kernel
 
-        fused_ssim = ssim_kernel.supports(h, w, len(warped_srcs))
+        fused_ssim = ssim_kernel.supports(h, w, len(frame_ids) - 1)
     # Fully-fused combine: SSIM stacks + identity stacks + tie-break +
     # per-pixel min + automask in ONE kernel (the per-source [B,H,W,F]
     # maps never reach HBM; the separate identity launch and the XLA
@@ -324,6 +292,45 @@ def forward(
         and not opt.avg_reprojection
         and not need_pyramid
     )
+    # Channel-first hot path: the warp kernel emits [B,3,H,W] planes and
+    # the fused loss kernel consumes them — zero layout transposes between
+    # warp and loss. color_cf is the augment kernel's own transpose when
+    # augmentation ran on device; recreated here otherwise.
+    cf = fused_min and use_pallas_warp
+    if cf:
+        color_cf = batch.get("color_cf")
+        if color_cf is None:
+            color_cf = jnp.transpose(batch["color"], (0, 1, 4, 2, 3))
+    warped_srcs, ident_srcs = [], []
+    for idx, f_i in enumerate(frame_ids[1:], start=1):
+        if f_i == "s":
+            T = batch["stereo_T"]
+        else:
+            aa, t, inv = poses[f_i]
+            if opt.pose_model_type == "posecnn" and not opt.use_stereo:
+                t = t * mean_inv_depth[:, None]
+            T = geometry.transformation_from_parameters(aa, t, invert=inv)
+
+        src = color_cf[:, idx] if cf else batch["color"][:, idx]
+        # NOTE: the warp samples in f32 even under bf16 loss_dtype — Mosaic's
+        # dynamic_gather requires index/result bitwidth match (i32 lanes), so
+        # a bf16 image window cannot be lane-gathered on this toolchain.
+        warped, pix = warp_frame(
+            src, depth, inv_K, K, T, use_pallas=use_pallas_warp, nchw=cf
+        )
+        outputs[f"warped_{f_i}"] = (
+            jnp.transpose(warped, (0, 2, 3, 1)) if cf else warped
+        )  # NHWC for panels; dead code on the hot path (not returned)
+        warped_srcs.append(warped)
+        ident_srcs.append(src)
+
+    # one channel-stacked SSIM pass per group with shared target statistics
+    # (the hot loss path); the identity group is param-independent, so its
+    # separate stack keeps its conv backward out of the graph entirely.
+    # Under bf16 compute the stack inputs are bf16 (halved HBM traffic,
+    # native-bf16 pooling matmuls); all pooled statistics and the output
+    # maps stay f32 (box_filter_reflect accumulates f32).
+    target_l = target.astype(ldt)
     if fused_min:
         noise = (
             L._tiebreak_noise(
@@ -333,9 +340,10 @@ def forward(
             else None
         )
         to_optimise, automask = ssim_kernel.reprojection_min_pallas(
-            [w_.astype(ldt) for w_ in warped_srcs],
-            [s.astype(ldt) for s in ident_srcs],
-            target_l, noise, opt.ssim_weight,
+            warped_srcs,
+            ident_srcs,
+            color_cf[:, 0] if cf else target_l,
+            noise, opt.ssim_weight, channel_first=cf,
         )
         outputs["automask"] = automask
         loss = to_optimise.mean()

@@ -171,7 +171,11 @@ def test_finetune_step_sharded_over_mesh():
     )
     stateN, mN = stepN(stateN, shard_batch(batch, mesh), key)
 
-    np.testing.assert_allclose(float(mN["loss"]), float(m1["loss"]), rtol=1e-5)
+    # rtol 1e-4 (was 1e-5): the decoder's bf16 upsample einsums
+    # (ops/image.py resize_bilinear bf16 path) make the cross-sharding
+    # reduction-order jitter ~1.6e-5 relative — activation-grade math,
+    # not an equivalence break
+    np.testing.assert_allclose(float(mN["loss"]), float(m1["loss"]), rtol=1e-4)
     for a, b in zip(
         jax.tree_util.tree_leaves(state1.params),
         jax.tree_util.tree_leaves(stateN.params),

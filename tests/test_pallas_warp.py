@@ -230,3 +230,40 @@ def test_rectify_rotation_assumption_at_indoor_resolution():
         f"indoor rotation per-row y-spread {worst_spread:.1f} exceeds the "
         f"band ({BAND - 2}); raise BAND"
     )
+
+
+def test_border_nchw_layout_matches_default():
+    """Channel-first in/out (fused loss path) must be a pure relayout."""
+    from jax.experimental.pallas import tpu as pltpu
+    from sfmnext_tpu.ops.pallas import warp_kernel as wk
+
+    rng = np.random.RandomState(40)
+    b, h, w, c = 2, 16, 128, 3
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    gy = jnp.asarray((rng.rand(b, h, w) * 2 - 1).astype(np.float32)) * 0.05
+    gx = jnp.asarray((rng.rand(b, h, w) * 2 - 1).astype(np.float32)) * 0.05
+    iy = jnp.broadcast_to(jnp.linspace(-1, 1, h)[None, :, None], (b, h, w))
+    ix = jnp.broadcast_to(jnp.linspace(-1, 1, w)[None, None, :], (b, h, w))
+    grid = jnp.stack([ix + gx, iy + gy], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = wk.grid_sample_pallas(img, grid)
+        out = wk.grid_sample_pallas(
+            jnp.transpose(img, (0, 3, 1, 2)), grid, nchw=True
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ref), np.asarray(jnp.transpose(out, (0, 2, 3, 1)))
+    )
+
+    def loss_ref(g):
+        return (wk.grid_sample_pallas(img, g) ** 2).sum()
+
+    def loss_nchw(g):
+        return (wk.grid_sample_pallas(
+            jnp.transpose(img, (0, 3, 1, 2)), g, nchw=True
+        ) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_ref)(grid)
+        g2 = jax.grad(loss_nchw)(grid)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

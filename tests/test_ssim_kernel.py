@@ -191,3 +191,48 @@ def test_min_fused_idents_and_target_zero_grad():
         gi, gt = jax.grad(loss_p, argnums=(0, 1))(idents[0], target)
     np.testing.assert_array_equal(np.asarray(gi), 0.0)
     np.testing.assert_array_equal(np.asarray(gt), 0.0)
+
+
+def test_min_fused_channel_first_matches():
+    preds, target = _data(20)
+    idents, _ = _data(21)
+    rngn = np.random.RandomState(22)
+    noise = jnp.asarray(rngn.randn(1, H, W, 2).astype(np.float32) * 1e-2)
+    with pltpu.force_tpu_interpret_mode():
+        ref, rmask = ssim_kernel.reprojection_min_pallas(
+            preds, idents, target, noise
+        )
+        cf, cmask = ssim_kernel.reprojection_min_pallas(
+            [jnp.transpose(p, (0, 3, 1, 2)) for p in preds],
+            [jnp.transpose(s, (0, 3, 1, 2)) for s in idents],
+            jnp.transpose(target, (0, 3, 1, 2)),
+            noise, channel_first=True,
+        )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(cf))
+    np.testing.assert_array_equal(np.asarray(rmask), np.asarray(cmask))
+
+
+def test_min_fused_channel_first_grad():
+    preds, target = _data(23)
+    idents, _ = _data(24)
+
+    def loss_nhwc(a, b):
+        to_opt, _ = ssim_kernel.reprojection_min_pallas(
+            [a, b], idents, target, None
+        )
+        return (to_opt ** 2).mean()
+
+    def loss_cf(a, b):
+        to_opt, _ = ssim_kernel.reprojection_min_pallas(
+            [jnp.transpose(a, (0, 3, 1, 2)), jnp.transpose(b, (0, 3, 1, 2))],
+            [jnp.transpose(s, (0, 3, 1, 2)) for s in idents],
+            jnp.transpose(target, (0, 3, 1, 2)),
+            None, channel_first=True,
+        )
+        return (to_opt ** 2).mean()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_nhwc, argnums=(0, 1))(*preds)
+        g2 = jax.grad(loss_cf, argnums=(0, 1))(*preds)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -180,7 +180,7 @@ def main(ops):
     if "pose" in ops:
         from sfmnext_tpu.models.pose_cnn import PoseCNN
 
-        m = PoseCNN(num_input_frames=2)
+        m = PoseCNN(num_input_frames=2, dtype=jnp.bfloat16)  # builder dtype
         pair = jnp.concatenate([img, img2], axis=-1)
         pair2 = jnp.concatenate([pair, pair], axis=0)  # batched 2 pairs
         params = m.init(jax.random.PRNGKey(0), pair2)["params"]

@@ -44,7 +44,14 @@ from sfmnext_tpu.training.step import (
     make_train_step,
 )
 
-THRESHOLDS = {"outdoor": 0.11, "indoor": 0.20}
+# Measured run-to-run band (round 5, 3000 steps, seeds 0-4, v5e):
+# best-after-warmup abs_rel = 0.074 / 0.057 / 0.070 / 0.137 / 0.091
+# (seed 3 is a degenerate SSL run — depth/pose collapse, expected ~1-in-5
+# at this synthetic scale; seed 0 reproduces across rounds: r1 0.0755,
+# r5 0.0745). Median-of-seeds is the robust statistic: median-of-3
+# (seeds 0,1,2) = 0.070. The threshold 0.095 trips on a ~30% quality
+# regression while tolerating one degenerate seed in --seeds mode.
+THRESHOLDS = {"outdoor": 0.095, "indoor": 0.20}
 
 
 def shake_batch(batch, rng: np.random.RandomState, max_rot: float = 0.02):
@@ -74,7 +81,10 @@ def shake_batch(batch, rng: np.random.RandomState, max_rot: float = 0.02):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("steps", nargs="?", type=int, default=600)
+    p.add_argument("steps", nargs="?", type=int, default=3000)
+    # NOTE 3000, not 600: the healthy trajectory passes through a BAD
+    # phase around steps 400-800 (r1 log spiked to abs_rel 0.87 at 600)
+    # before converging by ~step 1800 — short runs read as regressions.
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--mode", choices=("outdoor", "indoor"), default="outdoor")
@@ -88,6 +98,12 @@ def main():
         "--seed", type=int, default=0,
         help="model-init + train rng seed (band measurement across seeds; "
         "the scene pool stays fixed so only optimizer trajectories vary)",
+    )
+    p.add_argument(
+        "--seeds", type=str, default=None,
+        help="comma list, e.g. 0,1,2: run each seed and assert the MEDIAN "
+        "of per-seed best abs_rel clears the threshold (robust to the "
+        "~1-in-5 degenerate SSL runs of this synthetic setup)",
     )
     args = p.parse_args()
     steps, h, w, bs = args.steps, args.height, args.width, 8
@@ -106,9 +122,7 @@ def main():
     ).validate()
 
     models = build_models(opt, train=True)
-    variables = init_params(opt, models, jax.random.PRNGKey(args.seed))
     tx = make_optimizer(opt, steps_per_epoch=10_000)
-    state = TrainState.create(variables, tx)
     step_fn = make_train_step(opt, models, tx, donate=True)
     metric_fn = jax.jit(train_depth_metrics)
 
@@ -130,37 +144,63 @@ def main():
             b = shake_batch(b, shake_rng)
         pool.append({k: jnp.asarray(v) for k, v in b.items()})
 
-    rng = jax.random.PRNGKey(args.seed)
-    history = []
-    t0 = time.time()
-    for step in range(steps + 1):
-        if step % 200 == 0:
-            m, outputs = eval_fn(state.params, state.batch_stats, held_j)
-            dm = metric_fn(outputs["depth"], held_j["depth_gt"])
-            rec = {
-                "step": step,
-                "loss": float(m["loss"]),
-                "abs_rel": float(dm["de/abs_rel"]),
-                "rmse": float(dm["de/rms"]),
-                "a1": float(dm["da/a1"]),
-                "elapsed": round(time.time() - t0, 1),
-            }
-            history.append(rec)
-            print(json.dumps(rec), flush=True)
-        state, metrics = step_fn(state, pool[step % len(pool)], rng)
+    def run_seed(seed):
+        """Train from a fresh seed; the jitted step/eval fns are reused
+        across seeds (same shapes — no recompile)."""
+        variables = init_params(opt, models, jax.random.PRNGKey(seed))
+        state = TrainState.create(variables, tx)
+        rng = jax.random.PRNGKey(seed)
+        history = []
+        t0 = time.time()
+        for step in range(steps + 1):
+            if step % 200 == 0:
+                m, outputs = eval_fn(state.params, state.batch_stats, held_j)
+                dm = metric_fn(outputs["depth"], held_j["depth_gt"])
+                rec = {
+                    "step": step,
+                    "loss": float(m["loss"]),
+                    "abs_rel": float(dm["de/abs_rel"]),
+                    "rmse": float(dm["de/rms"]),
+                    "a1": float(dm["da/a1"]),
+                    "elapsed": round(time.time() - t0, 1),
+                }
+                history.append(rec)
+                print(json.dumps(rec), flush=True)
+            state, metrics = step_fn(state, pool[step % len(pool)], rng)
 
-    first, last = history[0], history[-1]
-    # SSL on these tiny synthetic scenes oscillates hard (round-1 log:
-    # abs_rel hit 0.87 at step 600 before ending at 0.075), so judge the
-    # best solution reached after warmup rather than the endpoint sample
-    settled = [r for r in history if r["step"] >= min(1000, steps // 2)]
-    best = min(settled, key=lambda r: r["abs_rel"])
-    print(
-        f"\n[{args.mode}] abs_rel {first['abs_rel']:.3f} -> "
-        f"{last['abs_rel']:.3f} (best {best['abs_rel']:.3f} @ step "
-        f"{best['step']}), a1 {first['a1']:.3f} -> {last['a1']:.3f} "
-        f"over {steps} steps"
-    )
+        first, last = history[0], history[-1]
+        # SSL on these tiny synthetic scenes oscillates hard (round-1 log:
+        # abs_rel hit 0.87 at step 600 before ending at 0.075), so judge
+        # the best solution reached after warmup, not the endpoint sample
+        settled = [r for r in history if r["step"] >= min(1000, steps // 2)]
+        best = min(settled, key=lambda r: r["abs_rel"])
+        print(
+            f"\n[{args.mode} seed {seed}] abs_rel {first['abs_rel']:.3f} "
+            f"-> {last['abs_rel']:.3f} (best {best['abs_rel']:.3f} @ step "
+            f"{best['step']}), a1 {first['a1']:.3f} -> {last['a1']:.3f} "
+            f"over {steps} steps"
+        )
+        return first, best
+
+    if args.seeds:
+        seeds = [int(x) for x in args.seeds.split(",")]
+        bests = {}
+        for sd in seeds:
+            _, best = run_seed(sd)
+            bests[sd] = best["abs_rel"]
+        med = sorted(bests.values())[len(bests) // 2]
+        print(f"\n[{args.mode}] per-seed best abs_rel: {bests}; "
+              f"median {med:.3f}")
+        if args.assert_:
+            thresh = args.threshold or THRESHOLDS[args.mode]
+            assert med <= thresh, (
+                f"convergence regression: median best abs_rel {med:.3f} > "
+                f"pinned threshold {thresh} ({args.mode}, seeds {seeds})"
+            )
+            print(f"ASSERT OK: median {med:.3f} <= {thresh}")
+        return
+
+    first, best = run_seed(args.seed)
     assert best["abs_rel"] < first["abs_rel"] * 0.9, "did not learn"
     if args.assert_:
         thresh = args.threshold or THRESHOLDS[args.mode]
