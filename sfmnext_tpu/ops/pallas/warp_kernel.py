@@ -184,20 +184,24 @@ def _fwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, out_ref, *, rows, h, w, c,
             riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
             wmap = jnp.where(riota == yr[None, :], (1 - wys)[None, :], 0.0)
             wmap = jnp.where(riota == (yr + 1)[None, :], wys[None, :], wmap)
-            for ch in range(c):
-                win = img_ref[
-                    0, ch, pl.ds(y_base, band), x_base : x_base + xwin
-                ]
-                left = jnp.sum(wmap * _gather_pos(win, xlw, xwin), axis=0)
-                right = jnp.sum(wmap * _gather_pos(win, xlw + 1, xwin), axis=0)
-                # lerp rides the weight dtype (f32); store in the output
-                # dtype. NOTE a bf16 image would halve the gather vregs,
-                # but Mosaic's dynamic_gather requires the index and
-                # result bitwidths to match (i32 lanes) — bf16 windows
-                # don't compile on this toolchain, so images stay f32.
-                out_ref[0, ch, i, sl] = (
-                    left * (1 - wxs) + right * wxs
-                ).astype(out_ref.dtype)
+            # ALL channels ride one gather set: the [C, band, xwin] window
+            # flattens to [C*band, xwin] (leading-dim merge is free) so
+            # each take_along/mask-merge handles 3x the rows in one
+            # instruction stream instead of a per-channel loop.
+            # NOTE a bf16 image would halve the gather vregs, but Mosaic's
+            # dynamic_gather requires the index and result bitwidths to
+            # match (i32 lanes) — bf16 windows don't compile here, so
+            # images stay f32.
+            win3 = img_ref[
+                0, :, pl.ds(y_base, band), x_base : x_base + xwin
+            ].reshape(c * band, xwin)
+            ml = _gather_pos(win3, xlw, xwin).reshape(c, band, LANES)
+            mr = _gather_pos(win3, xlw + 1, xwin).reshape(c, band, LANES)
+            left = jnp.sum(wmap[None] * ml, axis=1)    # [C, LANES]
+            right = jnp.sum(wmap[None] * mr, axis=1)
+            out_ref[0, :, i, sl] = (
+                left * (1 - wxs)[None] + right * wxs[None]
+            ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
@@ -220,21 +224,25 @@ def _bwd_kernel(yb_ref, img_ref, fy_ref, fx_ref, g_ref, dfy_ref, dfx_ref,
             riota = jax.lax.broadcasted_iota(jnp.int32, (band, LANES), 0)
             sel0 = (riota == yr[None, :]).astype(fy_row.dtype)
             sel1 = (riota == (yr + 1)[None, :]).astype(fy_row.dtype)
-            dfy = jnp.zeros((LANES,), fy_row.dtype)
-            dfx = jnp.zeros((LANES,), fx_row.dtype)
-            for ch in range(c):
-                win = img_ref[
-                    0, ch, pl.ds(y_base, band), x_base : x_base + xwin
-                ]
-                ml = _gather_pos(win, xlw, xwin)
-                mr = _gather_pos(win, xlw + 1, xwin)
-                v00 = jnp.sum(sel0 * ml, axis=0)
-                v01 = jnp.sum(sel0 * mr, axis=0)
-                v10 = jnp.sum(sel1 * ml, axis=0)
-                v11 = jnp.sum(sel1 * mr, axis=0)
-                g = g_ref[0, ch, i, sl]
-                dfy = dfy + g * ((v10 - v00) * (1 - wxs) + (v11 - v01) * wxs)
-                dfx = dfx + g * ((v01 - v00) * (1 - wys) + (v11 - v10) * wys)
+            # channel-stacked gathers (see _fwd_kernel)
+            win3 = img_ref[
+                0, :, pl.ds(y_base, band), x_base : x_base + xwin
+            ].reshape(c * band, xwin)
+            ml = _gather_pos(win3, xlw, xwin).reshape(c, band, LANES)
+            mr = _gather_pos(win3, xlw + 1, xwin).reshape(c, band, LANES)
+            v00 = jnp.sum(sel0[None] * ml, axis=1)   # [C, LANES]
+            v01 = jnp.sum(sel0[None] * mr, axis=1)
+            v10 = jnp.sum(sel1[None] * ml, axis=1)
+            v11 = jnp.sum(sel1[None] * mr, axis=1)
+            g = g_ref[0, :, i, sl]                   # [C, LANES]
+            dfy = jnp.sum(
+                g * ((v10 - v00) * (1 - wxs)[None] + (v11 - v01) * wxs[None]),
+                axis=0,
+            )
+            dfx = jnp.sum(
+                g * ((v01 - v00) * (1 - wys)[None] + (v11 - v10) * wys[None]),
+                axis=0,
+            )
             if not zeros:
                 # clamped (border) coords have zero gradient (torch)
                 dfy = dfy * (
